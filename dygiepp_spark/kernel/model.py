@@ -1,0 +1,267 @@
+"""Per-document forward + decode — the shared kernel.
+
+One pure-numpy function (`decode_document`) implements SURVEY.md §2.8
+M1–M10 and the §2.9 decode contract. It is called verbatim by BOTH:
+
+  (a) the single-process oracle decoder (kernel/oracle.py) — the
+      stand-in for ``allennlp predict`` (ref:dygie/predictors/
+      dygie.py::DyGIEPredictor -> per-module ``decode``), and
+  (b) the Spark ``mapInPandas`` extraction operator
+      (operators/extract.py),
+
+so triple parity between Spark and the oracle holds by construction
+(SURVEY.md §7 design rule). Determinism: float32, fixed reduction
+order, stable sorts, explicit tie-breaks (score desc, start asc,
+end asc) — required for decode parity across partitionings
+(SURVEY.md §4.3).
+
+Stage map (reference anchors in SURVEY.md §2.8):
+  M1  contextual encode          — hashed embedding + 3-gram mixer
+  M2  span enumeration (W≤8)     — kernel/spans.py
+  M3  span repr [h_s; h_e; w]    — EndpointSpanExtractor semantics
+  M4  mention score + beam (W1)  — ref entity_beam_pruner.py::Pruner
+  M5  graph propagation (T=2)    — ref coref.py::coref_propagation
+  M6  biaffine NER               — ref ner.py::NERTagger [BASELINE]
+  M7  biaffine relations         — ref relation.py::RelationExtractor
+  M8  trigger scorer             — ref events.py::EventExtractor
+  M9  biaffine arguments         — ref events.py (AdjacencyFieldAssym)
+  M10 coref antecedent decode    — ref coref.py::CorefResolver
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from dygiepp_spark import config as C
+from dygiepp_spark.kernel import nn
+from dygiepp_spark.kernel.spans import enumerate_spans, width_buckets
+from dygiepp_spark.kernel.tokenize import doc_to_sentences
+
+F32 = np.float32
+ANTECEDENT_WINDOW = 50  # top-K antecedent cap (ref coref max_antecedents)
+
+
+def _encode(tokens: list[str], w: dict) -> np.ndarray:
+    """M1: hashed token embeddings + 3-gram contextual mixer.
+    Document-level (context crosses sentence boundaries, the paper's
+    cross-sentence encoding [PAPER])."""
+    ids = nn.token_ids(tokens, C.VOCAB_BUCKETS)
+    emb = w["tok_emb"][ids]                                   # [n, H]
+    n, h = emb.shape
+    left = np.vstack([np.zeros((1, h), F32), emb[:-1]])
+    right = np.vstack([emb[1:], np.zeros((1, h), F32)])
+    ctx = np.concatenate([left, emb, right], axis=1)          # [n, 3H]
+    return np.tanh(ctx @ w["ctx_w"] + w["ctx_b"]).astype(F32)
+
+
+def _beam_keep(scores: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+               sent_ids: np.ndarray, sent_lens: list[int],
+               frac: float) -> np.ndarray:
+    """W1: per-sentence top-⌈frac·n_tokens⌉ by mention score with the
+    mandatory deterministic tie-break (score desc, start asc, end asc).
+    Returns a boolean keep-mask over spans (which are already in
+    (sent_id, start, end) order)."""
+    keep = np.zeros(len(scores), dtype=bool)
+    for sid, slen in enumerate(sent_lens):
+        idx = np.nonzero(sent_ids == sid)[0]
+        if idx.size == 0:
+            continue
+        k = min(idx.size, int(math.ceil(frac * slen)))
+        # lexsort: last key is primary -> (-score, start, end)
+        order = np.lexsort((ends[idx], starts[idx], -scores[idx]))
+        keep[idx[order[:k]]] = True
+    return keep
+
+
+def _propagate(g: np.ndarray, mention_scores: np.ndarray,
+               w: dict, iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """M5: T iterations of gated span-graph propagation
+    g_i ← f ⊙ g_i + (1−f) ⊙ Σ_j P_ij g_j with P from normalized
+    antecedent scores (j strictly earlier, window-capped, dummy ε=0).
+    Returns (updated g, final antecedent logits [k,k] with -inf mask).
+    """
+    k = g.shape[0]
+    if k == 0:
+        return g, np.full((0, 0), -np.inf, dtype=F32)
+    i_idx = np.arange(k)
+    allowed = (i_idx[None, :] < i_idx[:, None]) & \
+              (i_idx[:, None] - i_idx[None, :] <= ANTECEDENT_WINDOW)
+    ant = np.full((k, k), -np.inf, dtype=F32)
+    for _ in range(max(iters, 1)):
+        raw = nn.bilinear_scalar(g, g, w["cor_u"])
+        raw = raw + mention_scores[:, None] + mention_scores[None, :]
+        ant = np.where(allowed, raw, -np.inf).astype(F32)
+        # P over [dummy(0) | antecedents]; dummy absorbs all mass when
+        # a span has no allowed antecedent.
+        logits = np.concatenate([np.zeros((k, 1), F32), ant], axis=1)
+        p = nn.softmax(logits, axis=1)[:, 1:]                  # [k, k]
+        upd = (p @ g).astype(F32)
+        f = nn.sigmoid(np.concatenate([g, upd], axis=1) @ w["f_w"] + w["f_b"])
+        g = (f * g + (F32(1) - f) * upd).astype(F32)
+    return g, ant
+
+
+def decode_document(url: str, text: str, w: dict) -> dict:
+    """Full forward + decode for one document. Returns dict of plain
+    lists (JSON-able), mirroring the predicted_* fields of SURVEY.md
+    §1.1 plus flat triple provenance."""
+    sentences = doc_to_sentences(text)
+    tokens = [t for s in sentences for t in s]
+    n = len(tokens)
+    out = {
+        "url": url, "n_tokens": n, "n_spans": 0,
+        "mentions": [], "relations": [], "triggers": [],
+        "args": [], "coref_links": [],
+    }
+    if n == 0:
+        return out
+
+    sent_lens = [len(s) for s in sentences]
+    sent_offsets = np.cumsum([0] + sent_lens[:-1])
+
+    h = _encode(tokens, w)                                    # [n, H]
+
+    # M2: enumerate spans per sentence, doc-level indices,
+    # (sent_id, start, end) order.
+    starts_l, ends_l, sids_l = [], [], []
+    for sid, (off, slen) in enumerate(zip(sent_offsets, sent_lens)):
+        sp = enumerate_spans(slen)
+        starts_l.append(sp[:, 0] + off)
+        ends_l.append(sp[:, 1] + off)
+        sids_l.append(np.full(len(sp), sid, dtype=np.int64))
+    starts = np.concatenate(starts_l)
+    ends = np.concatenate(ends_l)
+    sids = np.concatenate(sids_l)
+    out["n_spans"] = int(len(starts))
+
+    # M3: span representations g = [h_start; h_end; width_emb]
+    wb = width_buckets(starts, ends, C.WIDTH_BUCKETS)
+    g = np.concatenate([h[starts], h[ends], w["width_emb"][wb]], axis=1)
+
+    # M4: mention scores + relation beam (W1)
+    m_scores = nn.ffn(g, w["m_w1"], w["m_b1"], w["m_w2"], w["m_b2"]).ravel()
+    keep = _beam_keep(m_scores, starts, ends, sids, sent_lens,
+                      C.SPANS_PER_WORD)
+    p_idx = np.nonzero(keep)[0]          # document order (sid, start, end)
+
+    # M5: propagation over the pruned beam (document-level)
+    gp, _ = _propagate(g[p_idx], m_scores[p_idx], w, C.PROP_ITERS)
+    g[p_idx] = gp                         # propagated reprs feed M6/M7/M9
+
+    # M6: biaffine NER over ALL spans:
+    # logit[i,l] = h_sᵀ U_l h_e + w_l·g_i + b_l  [BASELINE biaffine]
+    hs, he = h[starts], h[ends]
+    ner_bil = np.einsum("id,ldk,ik->il", hs, w["ner_u"], he, optimize=True)
+    ner_logits = ner_bil + g @ w["ner_w"].T + w["ner_b"]
+    ner_lab = np.argmax(ner_logits, axis=1)
+    for i in np.nonzero(ner_lab != 0)[0]:
+        out["mentions"].append((
+            int(sids[i]), int(starts[i]), int(ends[i]),
+            C.NER_LABELS[int(ner_lab[i])],
+            float(ner_logits[i, ner_lab[i]]),
+        ))
+
+    # M7: biaffine relations over pruned pairs within a sentence
+    # (J1 fused in-kernel — SURVEY.md §2.3: per-sentence k is small).
+    # M10: coref best-antecedent decode over the coref beam.
+    coref_keep = _beam_keep(m_scores, starts, ends, sids, sent_lens,
+                            C.COREF_SPANS_PER_WORD)
+    c_idx = np.nonzero(coref_keep)[0]
+    if c_idx.size:
+        _, ant = _propagate(g[c_idx], m_scores[c_idx], w, 1)
+        best = np.argmax(
+            np.concatenate([np.zeros((len(c_idx), 1), F32), ant], axis=1),
+            axis=1)
+        mx = np.concatenate(
+            [np.zeros((len(c_idx), 1), F32), ant], axis=1)[
+                np.arange(len(c_idx)), best]
+        for ii in range(len(c_idx)):
+            if best[ii] > 0 and mx[ii] > 0:
+                j = best[ii] - 1
+                a, b = c_idx[ii], c_idx[j]
+                out["coref_links"].append((
+                    int(sids[a]), int(starts[a]), int(ends[a]),
+                    int(sids[b]), int(starts[b]), int(ends[b]),
+                    float(mx[ii]),
+                ))
+
+    for sid in range(len(sent_lens)):
+        sp = p_idx[sids[p_idx] == sid]
+        if sp.size >= 2:
+            logits = nn.biaffine(g[sp], g[sp], w["rel_u"], w["rel_w"],
+                                 w["rel_b"])
+            lab = np.argmax(logits, axis=2)
+            for a in range(len(sp)):
+                for b in range(len(sp)):
+                    l = int(lab[a, b])
+                    if a == b or l == 0:
+                        continue
+                    ia, ib = sp[a], sp[b]
+                    out["relations"].append((
+                        sid, int(starts[ia]), int(ends[ia]),
+                        int(starts[ib]), int(ends[ib]),
+                        C.REL_LABELS[l], float(logits[a, b, l]),
+                    ))
+
+    # M8: trigger decode per token
+    t_logits = nn.ffn(h, w["t_w1"], w["t_b1"], w["t_w2"], w["t_b2"])
+    t_lab = np.argmax(t_logits, axis=1)
+    tok_sid = np.repeat(np.arange(len(sent_lens)), sent_lens)
+    trig_pos = np.nonzero(t_lab != 0)[0]
+    for t in trig_pos:
+        out["triggers"].append((
+            int(tok_sid[t]), int(t), C.TRIGGER_LABELS[int(t_lab[t])],
+            float(t_logits[t, t_lab[t]]),
+        ))
+
+    # M9: biaffine arguments — trigger × pruned spans, same sentence
+    # (J2 fused in-kernel).
+    for t in trig_pos:
+        sp = p_idx[sids[p_idx] == tok_sid[t]]
+        if sp.size == 0:
+            continue
+        logits = nn.biaffine(h[t:t + 1], g[sp], w["arg_u"], w["arg_w"],
+                             w["arg_b"])[0]                    # [k, L]
+        lab = np.argmax(logits, axis=1)
+        for j in np.nonzero(lab != 0)[0]:
+            ia = sp[j]
+            out["args"].append((
+                int(tok_sid[t]), int(t),
+                C.TRIGGER_LABELS[int(t_lab[t])],
+                int(starts[ia]), int(ends[ia]),
+                C.ARG_LABELS[int(lab[j])],
+                float(logits[j, lab[j]]),
+            ))
+    return out
+
+
+def span_text(tokens: list[str], start: int, end: int) -> str:
+    return " ".join(tokens[start:end + 1])
+
+
+def triples_rows(url: str, text: str, w: dict) -> list[tuple]:
+    """Decode + §2.9 triple emission. Row shape (the wide `triples`
+    schema of FIXTURES.md §3 + sent_id):
+    (url, kind, subj, pred, obj,
+     subj_start, subj_end, obj_start, obj_end, sent_id, score)
+    kinds: ner | relation | event_arg | coref.
+    """
+    out = decode_document(url, text, w)
+    tokens = [t for s in doc_to_sentences(text) for t in s]
+    rows: list[tuple] = []
+    for sid, s, e, lab, score in out["mentions"]:
+        rows.append((url, "ner", span_text(tokens, s, e), "has_type", lab,
+                     s, e, -1, -1, sid, score))
+    for sid, s1, e1, s2, e2, lab, score in out["relations"]:
+        rows.append((url, "relation", span_text(tokens, s1, e1), lab,
+                     span_text(tokens, s2, e2), s1, e1, s2, e2, sid, score))
+    for sid, t, etype, s, e, role, score in out["args"]:
+        rows.append((url, "event_arg",
+                     f"{span_text(tokens, t, t)}|{etype}", role,
+                     span_text(tokens, s, e), t, t, s, e, sid, score))
+    for sid1, s1, e1, sid2, s2, e2, score in out["coref_links"]:
+        rows.append((url, "coref", span_text(tokens, s1, e1), "coref_with",
+                     span_text(tokens, s2, e2), s1, e1, s2, e2, sid1, score))
+    return rows

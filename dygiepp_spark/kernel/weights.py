@@ -1,0 +1,88 @@
+"""Seeded, deterministic weight fixture (SURVEY.md §2.1 S5, §7 step 1).
+
+Stand-in for the reference's ``model.tar.gz`` archive (loaded by
+AllenNLP ``load_archive`` from ref:dygie/predictors/dygie.py::
+DyGIEPredictor). The weights are random-but-frozen (numpy
+``default_rng(SEED)`` with a fixed creation order), float32, and small
+enough to broadcast to every executor once per job (SURVEY.md §2.1 S2).
+
+A null-label bias makes the argmax decode sparse (most spans/pairs decode
+to the null label, index 0), mirroring the reference's label-imbalanced
+decode behaviour (SURVEY.md §2.2 F3) and keeping triple volume sane.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dygiepp_spark import config as C
+
+F32 = np.float32
+
+NULL_BIAS_NER = 2.0
+NULL_BIAS_REL = 0.5
+NULL_BIAS_TRIG = 1.2
+NULL_BIAS_ARG = 0.8
+
+
+def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
+    """Create the frozen weight dict. Creation order is part of the
+    fixture contract — do not reorder draws."""
+    rng = np.random.default_rng(seed)
+
+    def mat(*shape: int) -> np.ndarray:
+        scale = 1.0 / np.sqrt(max(shape[-1], 1))
+        return (rng.standard_normal(shape) * scale).astype(F32)
+
+    H, D, WD = C.HIDDEN, C.SPAN_DIM, C.WIDTH_DIM
+    FH = C.FFN_HIDDEN
+    L_ner, L_rel = len(C.NER_LABELS), len(C.REL_LABELS)
+    L_trig, L_arg = len(C.TRIGGER_LABELS), len(C.ARG_LABELS)
+
+    w = {
+        # token embedding + 3-gram contextualizer (M1 stand-in)
+        "tok_emb": mat(C.VOCAB_BUCKETS, H),
+        "ctx_w": mat(3 * H, H),
+        "ctx_b": np.zeros(H, dtype=F32),
+        # span width embedding (X4)
+        "width_emb": mat(C.WIDTH_BUCKETS, WD),
+        # mention scorer FFN (M4 / ref entity_beam_pruner Pruner)
+        "m_w1": mat(D, FH), "m_b1": np.zeros(FH, dtype=F32),
+        "m_w2": mat(FH, 1), "m_b2": np.zeros(1, dtype=F32),
+        # NER biaffine over (h_start, h_end) + linear over g (M6)
+        "ner_u": mat(L_ner, H, H),
+        "ner_w": mat(L_ner, D),
+        "ner_b": np.zeros(L_ner, dtype=F32),
+        # relation biaffine over (g_i, g_j) (M7)
+        "rel_u": mat(L_rel, D, D),
+        "rel_w": mat(L_rel, 2 * D),
+        "rel_b": np.zeros(L_rel, dtype=F32),
+        # trigger FFN per token (M8)
+        "t_w1": mat(H, FH), "t_b1": np.zeros(FH, dtype=F32),
+        "t_w2": mat(FH, L_trig), "t_b2": np.zeros(L_trig, dtype=F32),
+        # argument biaffine over (h_trigger, g_span) (M9)
+        "arg_u": mat(L_arg, H, D),
+        "arg_w": mat(L_arg, H + D),
+        "arg_b": np.zeros(L_arg, dtype=F32),
+        # coref antecedent bilinear (M10) + propagation gate (M5)
+        "cor_u": mat(D, D),
+        "f_w": mat(2 * D, D),
+        "f_b": np.zeros(D, dtype=F32),
+    }
+    w["ner_b"][0] = F32(NULL_BIAS_NER)
+    w["rel_b"][0] = F32(NULL_BIAS_REL)
+    w["t_b2"][0] = F32(NULL_BIAS_TRIG)
+    w["arg_b"][0] = F32(NULL_BIAS_ARG)
+    return w
+
+
+_CACHE: dict[int, dict[str, np.ndarray]] = {}
+
+
+def get_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
+    """Process-local cache — one build per executor python worker (the
+    broadcast-once semantics of SURVEY.md §2.1 S2 without shipping
+    bytes, since the fixture is derivable from the seed)."""
+    if seed not in _CACHE:
+        _CACHE[seed] = build_weights(seed)
+    return _CACHE[seed]

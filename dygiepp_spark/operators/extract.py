@@ -1,0 +1,92 @@
+"""The extraction operator: pages -> wide triples, via `mapInPandas`.
+
+This is the Spark realization of SURVEY.md §3 E1's execute stage
+(M1–M10 + §2.9 decode), fused into ONE vectorized UDF per the §2.11
+design: the per-sentence pair joins J1/J2 happen inside the kernel
+(per-sentence beam k is tiny), which removes three shuffles from the
+plan. Decode is embarrassingly parallel per document, so the operator
+is a NARROW transformation — `mapInPandas` over the scan partitions,
+ZERO shuffles, and Catalyst prunes the scan to exactly the input
+columns (url, html[, partition_id]); the 100 TB `html` column never
+travels anywhere except scan -> UDF.
+
+At 1000-executor scale the only knobs are input split size
+(`spark.sql.files.maxPartitionBytes`) and Arrow batch size — there is
+no shuffle to skew. Oversized documents only skew *within* a task;
+`repartition` by url is available but deliberately NOT default (it
+would add the pipeline's only wide dependency).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+TRIPLE_SCHEMA = (
+    "url string, kind string, subj string, pred string, obj string, "
+    "subj_start int, subj_end int, obj_start int, obj_end int, "
+    "sent_id int, score double"
+)
+TRIPLE_SCHEMA_PART = TRIPLE_SCHEMA + ", partition_id int"
+
+_COLS = ["url", "kind", "subj", "pred", "obj", "subj_start", "subj_end",
+         "obj_start", "obj_end", "sent_id", "score"]
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame],
+                    from_html: bool,
+                    with_partition: bool) -> Iterator[pd.DataFrame]:
+    # imports inside the UDF: executed on the executor python worker
+    from dygiepp_spark.kernel.model import triples_rows
+    from dygiepp_spark.kernel.tokenize import extract_text
+    from dygiepp_spark.kernel.weights import get_weights
+
+    w = get_weights()  # built once per worker process, then cached
+    cols = _COLS + (["partition_id"] if with_partition else [])
+    for pdf in batches:
+        rows: list[tuple] = []
+        if from_html:
+            texts = [extract_text(h) for h in pdf["html"]]
+        else:
+            texts = [t if t is not None else "" for t in pdf["text"]]
+        pids = pdf["partition_id"] if with_partition else None
+        for i, (url, text) in enumerate(zip(pdf["url"], texts)):
+            doc_rows = triples_rows(url, text, w)
+            if with_partition:
+                pid = int(pids.iloc[i])
+                rows.extend(r + (pid,) for r in doc_rows)
+            else:
+                rows.extend(doc_rows)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_triples(pages: DataFrame, from_html: bool = True,
+                    with_partition: bool = False) -> DataFrame:
+    """pages -> triples. `from_html=True` runs the full X1 path
+    (html -> byte-identical text -> decode); `False` short-circuits to
+    the `text` column (identical output by the [BASELINE] invariant,
+    golden-tested)."""
+    in_cols = ["url", "html" if from_html else "text"]
+    if with_partition:
+        in_cols.append("partition_id")
+    schema = TRIPLE_SCHEMA_PART if with_partition else TRIPLE_SCHEMA
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _decode_batches(batches, from_html, with_partition)
+
+    return pages.select(*in_cols).mapInPandas(fn, schema)
+
+
+def mentions_from_triples(triples: DataFrame) -> DataFrame:
+    """Project the `mentions` table (FIXTURES.md §3) out of the wide
+    triples stream — a pure narrow projection, no recompute."""
+    from pyspark.sql import functions as F
+    return (triples.filter(F.col("kind") == "ner")
+            .select("url", "sent_id",
+                    F.col("subj_start").alias("start"),
+                    F.col("subj_end").alias("end"),
+                    F.col("subj").alias("mention"),
+                    F.col("obj").alias("label"),
+                    "score"))

@@ -1,0 +1,47 @@
+"""KG-pipeline queries (model-decode path — non-SQL-expressible, so
+rows-only checks; golden parity is enforced by tests/test_parity.py
+against the single-process numpy oracle instead, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dygiepp_spark.plans.registry import register
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.plans.session import ensure_pyfiles, tune_session
+    from dygiepp_spark.sources.pages import synth_pages
+    tune_session(spark)
+    ensure_pyfiles(spark)
+    return extract_triples(synth_pages(spark, sf_dir), from_html=True)
+
+
+@register("kg_triples")
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 decode contract: the deduplicated (subj, pred, obj) triple
+    stream with provenance (A3 dedup via dropDuplicates)."""
+    return (_triples(spark, sf_dir)
+            .filter(F.col("kind") != "coref")
+            .dropDuplicates(["url", "subj", "pred", "obj", "kind"])
+            .orderBy("url", "kind", "subj_start", "subj_end",
+                     "obj_start", "obj_end", "pred"))
+
+
+@register("kg_mentions")
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted entity mentions (M6 decode -> mentions table)."""
+    from dygiepp_spark.operators.extract import mentions_from_triples
+    return (mentions_from_triples(_triples(spark, sf_dir))
+            .orderBy("url", "start", "end"))
+
+
+@register("kg_triple_counts")
+def kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind triple counts (A1-style hash agg over the decode)."""
+    return (_triples(spark, sf_dir)
+            .groupBy("kind")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("kind"))

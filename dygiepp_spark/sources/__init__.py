@@ -1,0 +1,1 @@
+"""dygiepp_spark — PySpark-native DyGIE++-style KG construction engine."""
