@@ -1,0 +1,403 @@
+"""Corpus analytics + training-data-pipeline operator queries over
+`documents` / `embeddings`, each with a DuckDB oracle twin.
+
+Covers the BASELINE-mandated large-scale pipeline ops: exact dedup,
+MinHash-LSH blocking (X7/J5), n-gram Jaccard near-dup, embedding
+cosine ANN, token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Portability contract with the oracle:
+- tokens = regex-split on whitespace of trimmed text (identical in
+  Spark `split` and DuckDB `string_split_regex`);
+- hashes = md5 hex strings (identical bytes both engines); MinHash =
+  lexicographic MIN over `md5(seed || '|' || shingle)` — no numeric
+  hash, so no sign/overflow divergence;
+- ratios computed from exact integers (bit-identical doubles), then
+  ROUNDed identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dygiepp_spark.plans.registry import register
+
+N_MINHASH = 16
+N_BANDS = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _toks() -> Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# ------------------------------------------------------- token counting
+@register("q_token_stats", sql="""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_chars_nospace,
+       CAST(CEIL(len(string_split_regex(trim(text), '\\s+')) / 16.0) AS INT) AS n_sentences
+FROM documents ORDER BY doc_id
+""")
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 tokenizer surface, fully JVM-side (no UDF): whitespace token
+    count + chunked sentence count (SENT_CHUNK=16; exact because the
+    driver corpus is punctuation-free — kernel tie in tests)."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.size(_toks()).cast("int").alias("n_tokens"),
+                    F.length(F.regexp_replace("text", r"\s", ""))
+                    .cast("int").alias("n_chars_nospace"))
+            .withColumn("n_sentences",
+                        F.ceil(F.col("n_tokens") / 16.0).cast("int"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------------- span counts (M2)
+@register("q_span_count", sql="""
+WITH t AS (SELECT doc_id,
+                  len(string_split_regex(trim(text), '\\s+')) AS n
+           FROM documents)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       CAST((n // 16) * 100 +
+            CASE WHEN (n % 16) >= 8 THEN (n % 16) * 8 - 28
+                 ELSE (n % 16) * ((n % 16) + 1) // 2 END AS INT) AS n_spans
+FROM t ORDER BY doc_id
+""")
+def q_span_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 span-enumeration count invariant in closed form
+    (SURVEY.md §2.8: Σ_s n_s·W − W(W−1)/2; W=8, 16-token sentences —
+    100 spans per full sentence). Property-tested against the real
+    enumeration in tests/test_kernel.py."""
+    n = F.size(_toks())
+    rem = n % 16
+    spans = (F.floor(n / 16) * 100
+             + F.when(rem >= 8, rem * 8 - 28)
+                .otherwise(F.floor(rem * (rem + 1) / 2)))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", n.cast("int").alias("n_tokens"),
+                    spans.cast("int").alias("n_spans"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------------- language / quality
+@register("q_lang_dist", sql="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_docs(spark, sf_dir).groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+            .orderBy("lang"))
+
+
+@register("q_quality_score", sql="""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk,
+                  length(regexp_replace(text, '\\s', '', 'g')) AS nch
+           FROM documents)
+SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+       CAST(len(list_filter(tk, x -> x IN ('the', 'a'))) AS INT) AS stop_cnt,
+       ROUND(len(list_filter(tk, x -> x IN ('the', 'a'))) * 1.0 / len(tk), 4)
+           AS stop_ratio,
+       ROUND(nch * 1.0 / len(tk), 4) AS avg_tok_len
+FROM t ORDER BY doc_id
+""")
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality scoring, JVM-side via higher-order functions
+    (F.filter over the token array — no Python)."""
+    tk = _toks()
+    stop = F.size(F.filter(tk, lambda x: x.isin("the", "a")))
+    nch = F.length(F.regexp_replace("text", r"\s", ""))
+    n = F.size(tk)
+    return (_docs(spark, sf_dir)
+            .select("doc_id", n.cast("int").alias("n_tokens"),
+                    stop.cast("int").alias("stop_cnt"),
+                    F.round(stop * F.lit(1.0) / n, 4).alias("stop_ratio"),
+                    F.round(nch * F.lit(1.0) / n, 4).alias("avg_tok_len"))
+            .orderBy("doc_id"))
+
+
+@register("q_langid_heuristic", sql="""
+WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(tk, x -> x IN ('the', 'a'))) > 0
+            THEN 'en' ELSE 'unk' END AS predicted_lang,
+       CAST(CASE WHEN (CASE WHEN len(list_filter(tk, x -> x IN ('the', 'a'))) > 0
+                 THEN 'en' ELSE 'unk' END) = lang THEN 1 ELSE 0 END AS INT)
+           AS is_match
+FROM t ORDER BY doc_id
+""")
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-presence language-ID heuristic (the n-gram-heuristic
+    family; deliberately simple so the rule is identical in SQL)."""
+    tk = _toks()
+    pred = F.when(
+        F.size(F.filter(tk, lambda x: x.isin("the", "a"))) > 0,
+        F.lit("en")).otherwise(F.lit("unk"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "lang", pred.alias("predicted_lang"))
+            .withColumn("is_match",
+                        F.when(F.col("predicted_lang") == F.col("lang"), 1)
+                        .otherwise(0).cast("int"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------------- dedup: exact
+@register("q_dedup_exact_stats", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+FROM documents
+""")
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): at scale this is a shuffle on the
+    128-bit content hash, never on the text itself."""
+    d = _docs(spark, sf_dir).select(F.md5("text").alias("h"))
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("h").cast("bigint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("bigint")
+        .alias("n_dups"))
+
+
+@register("q_dedup_exact_groups", sql="""
+SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+ORDER BY fp
+""")
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups with deterministic keeper election
+    (min doc_id — the canonical survivor rule)."""
+    return (_docs(spark, sf_dir)
+            .groupBy(F.md5("text").alias("fp"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.min("doc_id").cast("bigint").alias("keeper"))
+            .filter(F.col("n") > 1)
+            .orderBy("fp"))
+
+
+# ------------------------------------------------------- fingerprint
+@register("q_fingerprint", sql="""
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id
+""")
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint (X8-adjacent; md5 of
+    canonicalized text — the cheap cross-engine content address)."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------------- minhash / LSH
+def _shingles() -> Column:
+    """Distinct word-2-gram shingles, JVM-side (X7)."""
+    tk = _toks()
+    return F.when(
+        F.size(tk) >= 2,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat(F.element_at(tk, i + 1), F.lit(" "),
+                               F.element_at(tk, i + 2)),
+        ))).otherwise(F.array().cast("array<string>"))
+
+
+_SH_CTE = """
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              UNNEST(list_transform(generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1])) AS s
+       FROM toks),
+mh AS (SELECT doc_id, CAST(seed AS INT) AS seed,
+              MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS minhash
+       FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS seed) sd
+       GROUP BY doc_id, seed)
+"""
+
+
+def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id", F.explode(_shingles()).alias("s")))
+    seeds = (spark.range(N_MINHASH)
+             .select(F.col("id").cast("int").alias("seed")))
+    return (sh.crossJoin(F.broadcast(seeds))
+            .groupBy("doc_id", "seed")
+            .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"),
+                                      F.lit("|"), F.col("s"))))
+                 .alias("minhash")))
+
+
+@register("q_minhash_signatures", sql=f"""
+WITH {_SH_CTE}
+SELECT doc_id, seed, minhash FROM mh ORDER BY doc_id, seed
+""")
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 MinHash signatures (k=16) via portable md5-string minima.
+    Map-side combine does the heavy lifting: the shuffle carries one
+    (doc, seed, min) row per group, not the shingle stream."""
+    return _minhash_df(spark, sf_dir).orderBy("doc_id", "seed")
+
+
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _minhash_df(spark, sf_dir)
+    return (mh.withColumn("band", F.expr("seed div 4").cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda x: x["minhash"]),
+                "|")).alias("band_sig")))
+
+
+_BANDS_CTE = _SH_CTE + """,
+bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                 md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+          FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT))
+"""
+
+
+@register("q_lsh_candidates", sql=f"""
+WITH {_BANDS_CTE}
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id ORDER BY doc1, doc2
+""")
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 LSH blocking: band-signature self equi-join (4 bands × 4
+    rows). The join key is a 128-bit digest — uniform, so no skew by
+    construction except true near-dup cliques (AQE skew-join is the
+    backstop; SURVEY.md §4.3)."""
+    bands = _bands_df(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc1"),
+                     F.col("b.doc_id").alias("doc2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+            .orderBy("doc1", "doc2"))
+
+
+@register("q_ngram_jaccard_top", sql=f"""
+WITH {_SH_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc1, doc2,
+       ROUND(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
+FROM pairs p JOIN sz x ON p.doc1 = x.doc_id JOIN sz y ON p.doc2 = y.doc_id
+ORDER BY shared * 1.0 / (x.n + y.n - shared) DESC, doc1, doc2
+LIMIT 100
+""")
+def q_ngram_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: shared-shingle equi-join -> exact
+    Jaccard from integer counts (bit-identical doubles across engines)
+    -> deterministic top-100. At scale the shared-shingle join is the
+    classic hot-key risk — stopword-like shingles are capped by
+    array_distinct and, at real scale, by a df-frequency filter."""
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id", F.explode(_shingles()).alias("s")))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc1"),
+                      F.col("b.doc_id").alias("doc2"))
+             .agg(F.count(F.lit(1)).alias("shared")))
+    x = sz.alias("x")
+    y = sz.alias("y")
+    jac = F.col("shared") * F.lit(1.0) / (F.col("x.n") + F.col("y.n")
+                                          - F.col("shared"))
+    return (pairs.join(x, F.col("doc1") == F.col("x.doc_id"))
+            .join(y, F.col("doc2") == F.col("y.doc_id"))
+            .select("doc1", "doc2", jac.alias("jac_exact"))
+            .orderBy(F.col("jac_exact").desc(), "doc1", "doc2")
+            .limit(100)
+            .select("doc1", "doc2", F.round("jac_exact", 4).alias("jaccard")))
+
+
+# ------------------------------------------------------- embeddings / ANN
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product via zip_with+aggregate —
+    same accumulation order as DuckDB's list_dot_product, so values
+    match bit-for-bit before rounding."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+@register("q_embedding_stats", sql="""
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 4) AS l2_norm,
+       label
+FROM embeddings ORDER BY vec_id
+""")
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return (e.select("vec_id",
+                     F.size("embedding").cast("int").alias("dim"),
+                     F.round(F.sqrt(_dot(F.col("embedding"),
+                                         F.col("embedding"))), 4)
+                     .alias("l2_norm"),
+                     "label")
+            .orderBy("vec_id"))
+
+
+@register("q_ann_cosine_topk", sql="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_dot_product(q.v, e.v) /
+         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+             AS cos
+  FROM q JOIN e ON q.vec_id <> e.vec_id)
+SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rn FROM (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS INT) AS rn
+  FROM scored) WHERE rn <= 5
+ORDER BY query_id, rn
+""")
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the ANN correctness baseline. The
+    query side is broadcast; scoring is a narrow map over the
+    candidate scan (scales linearly, no shuffle until the tiny per-
+    query top-k). Rank on round(cos,6) with vec_id tie-break so float
+    noise can't reorder across engines."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")))
+    cos = (_dot(F.col("qv"), F.col("embedding"))
+           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+              * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))))
+    scored = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", "vec_id", cos.alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "vec_id",
+                    F.round("cos", 4).alias("cosine"), "rn")
+            .orderBy("query_id", "rn"))
