@@ -1,0 +1,168 @@
+"""End-to-end KG pipeline: pages -> triples -> linked graph, with
+per-partition lineage + checkpoint/resume (SURVEY.md §2.10, §3 E1).
+
+Sandbox storage is plain parquet with partition directories + a
+lineage commit-log table — the Iceberg `overwritePartitions` layout
+without the jar (SURVEY.md §7 step 5). Idempotence contract:
+- triples are written with DYNAMIC partition overwrite keyed by
+  `partition_id` (the WARC-partition stand-in): re-processing a
+  partition replaces exactly that partition's files;
+- lineage rows are appended per run with status='done'; on start,
+  completed partitions are removed from the input by a LEFT ANTI join
+  (the resume filter) — at Iceberg scale that anti-join is metadata-
+  only partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dygiepp_spark import config as C
+
+LINEAGE_SCHEMA = ("partition_id int, n_docs bigint, n_triples bigint, "
+                  "docs_per_sec double, status string, run_id string")
+
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "lineage")
+
+
+def completed_partitions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Partitions already marked done in the lineage commit log."""
+    path = _lineage_path(out_dir)
+    try:
+        lin = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], "partition_id int")
+    return (lin.filter(F.col("status") == "done")
+            .select("partition_id").distinct())
+
+
+def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
+                   resume: bool = True,
+                   n_partitions: int = C.N_WARC_PARTITIONS,
+                   parallelism: int | None = None) -> dict:
+    """pages -> triples parquet (partitioned by partition_id) +
+    lineage append. Returns run metrics. Skips partitions already
+    marked done when resume=True."""
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.sources.pages import synth_pages
+
+    run_id = uuid.uuid4().hex[:12]
+    pages = synth_pages(spark, sf_dir, n_partitions)
+    if resume:
+        done = completed_partitions(spark, out_dir)
+        pages = pages.join(done, "partition_id", "left_anti")
+    if parallelism:
+        # sandbox-only: the sf parquet is a single split; real WARC
+        # inputs arrive in thousands of splits and skip this shuffle.
+        pages = pages.repartition(parallelism, "url")
+
+    n_docs = pages.count()
+    if n_docs == 0:
+        return {"run_id": run_id, "n_docs": 0, "n_triples": 0,
+                "elapsed_sec": 0.0, "partitions": []}
+
+    t0 = time.time()
+    triples = extract_triples(pages, from_html=True, with_partition=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (triples.write.mode("overwrite")
+     .partitionBy("partition_id")
+     .parquet(os.path.join(out_dir, "triples")))
+    elapsed = time.time() - t0
+
+    written = spark.read.parquet(os.path.join(out_dir, "triples"))
+    pages_per_part = (pages.groupBy("partition_id")
+                      .agg(F.count(F.lit(1)).alias("n_docs")))
+    stats = (written.groupBy("partition_id")
+             .agg(F.count(F.lit(1)).alias("n_triples"))
+             .join(pages_per_part, "partition_id", "right")
+             .select("partition_id",
+                     F.col("n_docs").cast("bigint"),
+                     F.coalesce("n_triples", F.lit(0)).cast("bigint")
+                     .alias("n_triples"))
+             .collect())
+    docs_per_sec = n_docs / elapsed if elapsed > 0 else 0.0
+    lineage_rows = [
+        (int(r.partition_id), int(r.n_docs), int(r.n_triples),
+         float(docs_per_sec), "done", run_id)
+        for r in stats
+    ]
+    (spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(_lineage_path(out_dir)))
+
+    n_triples = sum(r.n_triples for r in stats)
+    return {"run_id": run_id, "n_docs": n_docs, "n_triples": n_triples,
+            "elapsed_sec": elapsed, "docs_per_sec": docs_per_sec,
+            "partitions": [r.partition_id for r in stats]}
+
+
+def build_graph(spark: SparkSession, triples: DataFrame
+                ) -> tuple[DataFrame, DataFrame]:
+    """triples -> (nodes, edges) per FIXTURES.md §3.
+
+    nodes: entity_id, canonical_text (most frequent mention surface,
+    ties broken lexicographically), n_mentions, members (capped).
+    edges: src_entity, pred, dst_entity, n_support from relation +
+    event_arg triples via gid->entity broadcast-able mapping.
+    """
+    from pyspark.sql import Window
+    from dygiepp_spark.operators.extract import mentions_from_triples
+    from dygiepp_spark.operators.linking import link_entities
+
+    mentions = mentions_from_triples(triples)
+    linked = link_entities(mentions, triples).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("n_mentions").desc(), F.col("norm_text").asc())
+    nodes = (linked.withColumn("rk", F.row_number().over(w))
+             .groupBy("entity_id")
+             .agg(F.min(F.when(F.col("rk") == 1, F.col("norm_text")))
+                  .alias("canonical_text"),
+                  F.sum("n_mentions").cast("bigint").alias("n_mentions"),
+                  F.slice(F.array_sort(
+                      F.collect_list(F.struct("norm_text", "gid"))),
+                      1, 20).alias("members")))
+
+    gid2ent = linked.select("gid", "entity_id")
+    rel = (triples.filter(F.col("kind").isin("relation", "event_arg"))
+           .select(F.xxhash64(F.lower(F.trim("subj"))).alias("src_gid"),
+                   "pred",
+                   F.xxhash64(F.lower(F.trim("obj"))).alias("dst_gid")))
+    s = gid2ent.select(F.col("gid").alias("src_gid"),
+                       F.col("entity_id").alias("src_entity"))
+    d = gid2ent.select(F.col("gid").alias("dst_gid"),
+                       F.col("entity_id").alias("dst_entity"))
+    edges = (rel.join(F.broadcast(s), "src_gid", "left")
+             .join(F.broadcast(d), "dst_gid", "left")
+             .select(F.coalesce("src_entity", "src_gid")
+                     .alias("src_entity"),
+                     "pred",
+                     F.coalesce("dst_entity", "dst_gid")
+                     .alias("dst_entity"))
+             .groupBy("src_entity", "pred", "dst_entity")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_support")))
+    return nodes, edges
+
+
+def run_kg(spark: SparkSession, sf_dir: str, out_dir: str,
+           resume: bool = True,
+           parallelism: int | None = None) -> dict:
+    """Full pipeline: extraction (resumable) + graph materialization.
+    Writes triples/, lineage/, nodes/, edges/ under out_dir."""
+    metrics = run_extraction(spark, sf_dir, out_dir, resume=resume,
+                             parallelism=parallelism)
+    triples = spark.read.parquet(os.path.join(out_dir, "triples"))
+    nodes, edges = build_graph(spark, triples)
+    nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
+    edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+    metrics["n_nodes"] = spark.read.parquet(
+        os.path.join(out_dir, "nodes")).count()
+    metrics["n_edges"] = spark.read.parquet(
+        os.path.join(out_dir, "edges")).count()
+    return metrics

@@ -401,3 +401,43 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id",
                     F.round("cos", 4).alias("cosine"), "rn")
             .orderBy("query_id", "rn"))
+
+
+# ------------------------------------------------------- CC with SQL oracle
+@register("q_doc_components", sql=f"""
+WITH RECURSIVE {_SH_CTE},
+bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                 md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+          FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)),
+cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+e AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+FROM reach GROUP BY u ORDER BY doc_id
+""")
+def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH near-dup candidate graph —
+    the canonicalization operator (SURVEY.md §4.3) with a genuine SQL
+    oracle: Spark runs the bounded min-label-propagation loop
+    (operators/cc.py), DuckDB computes the transitive closure with a
+    recursive CTE. Output restricted to nodes with ≥1 edge."""
+    from dygiepp_spark.operators.cc import connected_components
+    bands = _bands_df(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("src"),
+                    F.col("b.doc_id").alias("dst"))
+            .distinct())
+    comp = connected_components(cand)
+    return (comp.select(F.col("node").cast("bigint").alias("doc_id"),
+                        F.col("component").cast("bigint")
+                        .alias("component"))
+            .orderBy("doc_id"))

@@ -45,3 +45,23 @@ def kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("kind")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .orderBy("kind"))
+
+
+@register("kg_nodes")
+def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entity nodes after MinHash-LSH linking + connected
+    components (J5 + CC; rows-only — golden-tested in
+    tests/test_graph.py)."""
+    from dygiepp_spark.plans.pipeline import build_graph
+    nodes, _ = build_graph(spark, _triples(spark, sf_dir))
+    return (nodes.select("entity_id", "canonical_text", "n_mentions")
+            .orderBy("entity_id"))
+
+
+@register("kg_edges")
+def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized relation/event-argument edges with support
+    counts (rows-only)."""
+    from dygiepp_spark.plans.pipeline import build_graph
+    _, edges = build_graph(spark, _triples(spark, sf_dir))
+    return edges.orderBy("src_entity", "pred", "dst_entity")

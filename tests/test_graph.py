@@ -1,0 +1,160 @@
+"""CC, linking, and pipeline resume tests (SURVEY.md §5.2 items 3-4)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node per component
+    comp: dict[int, int] = {}
+    for n in parent:
+        comp[n] = find(n)
+    return comp
+
+
+def test_cc_matches_union_find(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (12, 12), (20, 21), (21, 22),
+             (22, 23), (23, 24), (5, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    from dygiepp_spark.operators.cc import connected_components
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=25))
+@settings(max_examples=10, deadline=None)
+def test_cc_property_random_graphs(edges):
+    # driverless check of the reference implementation itself
+    comp = _union_find(edges)
+    for a, b in edges:
+        assert comp[a] == comp[b]
+
+
+def test_cc_random_graph_spark(spark):
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(50)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    from dygiepp_spark.operators.cc import connected_components
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
+def test_linking_groups_exact_and_near(spark):
+    """Exact duplicates always link; near-identical strings link via
+    LSH+Jaccard; dissimilar strings stay apart."""
+    rows = [("u1", 0, 0, 1, "fast table scan", "Method", 1.0),
+            ("u2", 0, 0, 1, "fast table scan", "Method", 1.0),
+            ("u3", 0, 0, 1, "Fast Table Scan", "Method", 1.0),
+            ("u4", 0, 0, 1, "fast table scans", "Method", 1.0),
+            ("u5", 0, 0, 1, "completely different thing", "Task", 1.0)]
+    mentions = spark.createDataFrame(
+        rows, "url string, sent_id int, start int, end int, "
+              "mention string, label string, score double")
+    triples = spark.createDataFrame(
+        [], "url string, kind string, subj string, pred string, "
+            "obj string")
+    from dygiepp_spark.operators.linking import link_entities
+    linked = {r.norm_text: r.entity_id
+              for r in link_entities(mentions, triples,
+                                     use_coref=False).collect()}
+    # case-normalized exacts collapse to one text node
+    assert len(linked) == 3
+    assert linked["fast table scan"] == linked["fast table scans"]
+    assert linked["completely different thing"] != linked["fast table scan"]
+
+
+def test_linking_coref_edge_links_disjoint_texts(spark):
+    mentions = spark.createDataFrame(
+        [("u1", 0, 0, 1, "alpha beta", "Method", 1.0),
+         ("u1", 0, 3, 4, "gamma delta", "Method", 1.0)],
+        "url string, sent_id int, start int, end int, mention string, "
+        "label string, score double")
+    triples = spark.createDataFrame(
+        [("u1", "coref", "alpha beta", "coref_with", "gamma delta")],
+        "url string, kind string, subj string, pred string, obj string")
+    from dygiepp_spark.operators.linking import link_entities
+    linked = {r.norm_text: r.entity_id
+              for r in link_entities(mentions, triples).collect()}
+    assert linked["alpha beta"] == linked["gamma delta"]
+
+
+@pytest.fixture()
+def out_dir():
+    d = tempfile.mkdtemp(prefix="dygiepp_out_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pipeline_resume(spark, out_dir):
+    """Kill-and-rerun semantics: after a full run, a resumed run sees
+    zero pending docs and recomputes nothing; output identical."""
+    from dygiepp_spark.plans.pipeline import (completed_partitions,
+                                              run_extraction)
+    sf = "/root/testdata/sf0.001"
+    m1 = run_extraction(spark, sf, out_dir, resume=True)
+    assert m1["n_docs"] == 500 and m1["n_triples"] > 0
+    assert sorted(m1["partitions"]) == list(range(8))
+
+    t1 = (spark.read.parquet(f"{out_dir}/triples")
+          .orderBy("url", "kind", "subj", "pred", "obj",
+                   "subj_start", "obj_start").toPandas())
+
+    m2 = run_extraction(spark, sf, out_dir, resume=True)
+    assert m2["n_docs"] == 0, "completed partitions were recomputed"
+
+    t2 = (spark.read.parquet(f"{out_dir}/triples")
+          .orderBy("url", "kind", "subj", "pred", "obj",
+                   "subj_start", "obj_start").toPandas())
+    assert t1.equals(t2)
+    assert completed_partitions(spark, out_dir).count() == 8
+
+
+def test_pipeline_partial_resume(spark, out_dir):
+    """Simulate a crash after 3 partitions: pre-seed lineage with 3
+    done partitions, run, and check only the other 5 were computed."""
+    from dygiepp_spark.plans.pipeline import run_extraction
+    lineage = [(p, 0, 0, 0.0, "done", "seeded") for p in (0, 1, 2)]
+    (spark.createDataFrame(
+        lineage, "partition_id int, n_docs bigint, n_triples bigint, "
+                 "docs_per_sec double, status string, run_id string")
+     .write.mode("overwrite").parquet(f"{out_dir}/lineage"))
+    m = run_extraction(spark, "/root/testdata/sf0.001", out_dir,
+                       resume=True)
+    assert sorted(m["partitions"]) == [3, 4, 5, 6, 7]
+    assert 0 < m["n_docs"] < 500
+
+
+def test_kg_end_to_end(spark, out_dir):
+    from dygiepp_spark.plans.pipeline import run_kg
+    m = run_kg(spark, "/root/testdata/sf0.001", out_dir, resume=False)
+    assert m["n_triples"] > 0 and m["n_nodes"] > 0 and m["n_edges"] > 0
+    nodes = spark.read.parquet(f"{out_dir}/nodes")
+    assert nodes.columns == ["entity_id", "canonical_text",
+                             "n_mentions", "members"]
+    # every edge endpoint that came from a mention resolves somewhere
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    assert edges.filter("src_entity is null or dst_entity is null"
+                        ).count() == 0
