@@ -1,0 +1,170 @@
+"""Benchmark driver (SURVEY.md §6, BASELINE.md plan).
+
+Default: run the headline pipeline + representative operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "triples_per_sec": ..., ...}
+
+`python bench.py --scaling`: the N vs 4N cluster-size evidence — the
+same extraction job on identical input at local[8] and local[32],
+reporting throughput at both and scaling efficiency
+(eff = (thr@32 / thr@8) / 4, target >= 0.8). Results also appended to
+BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Registered (oracle-twinned) queries to time: the JVM-relational core.
+BENCH_QUERIES = [
+    "q_pricing_summary",
+    "q_topk_per_user",
+    "q_region_revenue",
+    "q_recent_prior_events",
+    "q_span_count",
+    "q_ann_cosine_topk",
+]
+
+
+def _op_benches(spark, sf_dir: str) -> dict:
+    """Scale-path operator APIs (xxhash64 hashing, df-capped shingle
+    joins) — these, not the md5 oracle twins, are what runs at 100 TB;
+    the twins stay as the sf0.01 correctness gate."""
+    from pyspark.sql import functions as F
+    from dygiepp_spark.operators import ann, dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 16)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")))
+    return {
+        "op_dedup_exact": lambda: dedup.dedup_exact(docs).count(),
+        "op_minhash_lsh": lambda: dedup.minhash_lsh_candidates(
+            docs, df_cap=200).count(),
+        "op_simhash": lambda: dedup.simhash(docs).count(),
+        "op_ann_bruteforce": lambda: ann.brute_force_topk(
+            emb, queries, k=10).count(),
+        "op_ann_lsh": lambda: ann.lsh_topk(
+            emb, queries, k=10, n_tables=8, bits=5).count(),
+    }
+
+
+def _session(cores: int):
+    from dygiepp_spark.plans.session import ensure_pyfiles, get_spark
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    ensure_pyfiles(spark)
+    return spark
+
+
+def run_extraction_bench(spark, sf_dir: str, cores: int) -> dict:
+    """The headline job: pages -> decode -> triples, counted.
+    The sandbox parquet is one split, so repartition to cores*3 —
+    a ~MB-scale shuffle standing in for the thousands of natural WARC
+    splits a real input has."""
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, sf_dir).repartition(cores * 3, "url")
+    n_docs = pages.count()
+    t0 = time.time()
+    triples = extract_triples(pages, from_html=True)
+    n_triples = triples.count()
+    dt = time.time() - t0
+    return {"n_docs": n_docs, "n_triples": n_triples,
+            "elapsed_sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 2),
+            "triples_per_sec": round(n_triples / dt, 2)}
+
+
+def run_default() -> dict:
+    import __spark_entry__ as E
+    spark = _session(CPUS)
+    queries: dict[str, float] = {}
+
+    ext = run_extraction_bench(spark, SF_DIR, CPUS)
+    queries["kg_extract"] = ext["elapsed_sec"]
+
+    # graph stage: linking + CC + nodes/edges over the decoded triples
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.plans.pipeline import build_graph
+    from dygiepp_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, SF_DIR).repartition(CPUS * 3, "url")
+    triples = extract_triples(pages, from_html=True) \
+        .localCheckpoint(eager=True)
+    t0 = time.time()
+    nodes, edges = build_graph(spark, triples)
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    queries["kg_graph"] = round(time.time() - t0, 3)
+
+    qs = E.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    for name, thunk in _op_benches(spark, SF_DIR).items():
+        t0 = time.time()
+        thunk()
+        queries[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "kg_pipeline_and_operator_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_docs": ext["n_docs"],
+        "n_triples": ext["n_triples"],
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "docs_per_sec": ext["docs_per_sec"],
+        "triples_per_sec": ext["triples_per_sec"],
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same input bytes, two parallelism levels."""
+    out = {}
+    for cores in (8, 32):
+        spark = _session(cores)
+        res = run_extraction_bench(spark, SF_DIR, cores)
+        spark.stop()
+        out[f"local[{cores}]"] = res
+    thr8 = out["local[8]"]["triples_per_sec"]
+    thr32 = out["local[32]"]["triples_per_sec"]
+    eff = (thr32 / thr8) / 4 if thr8 else 0.0
+    result = {
+        "metric": "scaling_efficiency_local8_to_local32",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "sf": SF_DIR,
+        "runs": out,
+        "throughput_at_N": thr8,
+        "throughput_at_4N": thr32,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_default()))

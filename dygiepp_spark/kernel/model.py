@@ -153,7 +153,8 @@ def decode_document(url: str, text: str, w: dict) -> dict:
     # M6: biaffine NER over ALL spans:
     # logit[i,l] = h_sᵀ U_l h_e + w_l·g_i + b_l  [BASELINE biaffine]
     hs, he = h[starts], h[ends]
-    ner_bil = np.einsum("id,ldk,ik->il", hs, w["ner_u"], he, optimize=True)
+    ner_tmp = np.tensordot(hs, w["ner_u"], axes=([1], [1]))  # [S, L, H]
+    ner_bil = (ner_tmp * he[:, None, :]).sum(axis=2)         # [S, L]
     ner_logits = ner_bil + g @ w["ner_w"].T + w["ner_b"]
     ner_lab = np.argmax(ner_logits, axis=1)
     for i in np.nonzero(ner_lab != 0)[0]:
@@ -187,23 +188,24 @@ def decode_document(url: str, text: str, w: dict) -> dict:
                     float(mx[ii]),
                 ))
 
-    for sid in range(len(sent_lens)):
-        sp = p_idx[sids[p_idx] == sid]
-        if sp.size >= 2:
-            logits = nn.biaffine(g[sp], g[sp], w["rel_u"], w["rel_w"],
-                                 w["rel_b"])
-            lab = np.argmax(logits, axis=2)
-            for a in range(len(sp)):
-                for b in range(len(sp)):
-                    l = int(lab[a, b])
-                    if a == b or l == 0:
-                        continue
-                    ia, ib = sp[a], sp[b]
-                    out["relations"].append((
-                        sid, int(starts[ia]), int(ends[ia]),
-                        int(starts[ib]), int(ends[ib]),
-                        C.REL_LABELS[l], float(logits[a, b, l]),
-                    ))
+    # One doc-level biaffine over the whole beam, masked to
+    # same-sentence ordered pairs — replaces the per-sentence loop
+    # (same per-pair arithmetic; J1 stays fused in-kernel).
+    if p_idx.size >= 2:
+        gk = g[p_idx]
+        logits = nn.biaffine(gk, gk, w["rel_u"], w["rel_w"], w["rel_b"])
+        lab = np.argmax(logits, axis=2)
+        same_sent = sids[p_idx][:, None] == sids[p_idx][None, :]
+        k = p_idx.size
+        valid = same_sent & (lab != 0) & ~np.eye(k, dtype=bool)
+        for a, b in np.argwhere(valid):
+            ia, ib = p_idx[a], p_idx[b]
+            l = int(lab[a, b])
+            out["relations"].append((
+                int(sids[ia]), int(starts[ia]), int(ends[ia]),
+                int(starts[ib]), int(ends[ib]),
+                C.REL_LABELS[l], float(logits[a, b, l]),
+            ))
 
     # M8: trigger decode per token
     t_logits = nn.ffn(h, w["t_w1"], w["t_b1"], w["t_w2"], w["t_b2"])
@@ -216,23 +218,23 @@ def decode_document(url: str, text: str, w: dict) -> dict:
             float(t_logits[t, t_lab[t]]),
         ))
 
-    # M9: biaffine arguments — trigger × pruned spans, same sentence
-    # (J2 fused in-kernel).
-    for t in trig_pos:
-        sp = p_idx[sids[p_idx] == tok_sid[t]]
-        if sp.size == 0:
-            continue
-        logits = nn.biaffine(h[t:t + 1], g[sp], w["arg_u"], w["arg_w"],
-                             w["arg_b"])[0]                    # [k, L]
-        lab = np.argmax(logits, axis=1)
-        for j in np.nonzero(lab != 0)[0]:
-            ia = sp[j]
+    # M9: biaffine arguments — all triggers × whole beam in one call,
+    # masked to same-sentence pairs (J2 fused in-kernel).
+    if trig_pos.size and p_idx.size:
+        logits = nn.biaffine(h[trig_pos], g[p_idx], w["arg_u"],
+                             w["arg_w"], w["arg_b"])        # [T, k, L]
+        lab = np.argmax(logits, axis=2)
+        same_sent = (tok_sid[trig_pos][:, None]
+                     == sids[p_idx][None, :])
+        for ti, j in np.argwhere(same_sent & (lab != 0)):
+            t = trig_pos[ti]
+            ia = p_idx[j]
             out["args"].append((
                 int(tok_sid[t]), int(t),
                 C.TRIGGER_LABELS[int(t_lab[t])],
                 int(starts[ia]), int(ends[ia]),
-                C.ARG_LABELS[int(lab[j])],
-                float(logits[j, lab[j]]),
+                C.ARG_LABELS[int(lab[ti, j])],
+                float(logits[ti, j, lab[ti, j]]),
             ))
     return out
 

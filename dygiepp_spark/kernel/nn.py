@@ -71,7 +71,10 @@ def biaffine(x1: np.ndarray, x2: np.ndarray, u: np.ndarray,
     """
     x1 = x1.astype(F32)
     x2 = x2.astype(F32)
-    bil = np.einsum("id,ldk,jk->ijl", x1, u, x2, optimize=True)
+    # bil[i,j,l] = x1[i] @ u[l] @ x2[j], via two matmuls (no einsum
+    # path-search overhead): [n1,L,d2] = tensordot(x1,u) ; @ x2.T
+    tmp = np.tensordot(x1, u, axes=([1], [1]))    # [n1, L, d2]
+    bil = np.matmul(tmp, x2.T).transpose(0, 2, 1)  # [n1, n2, L]
     d1 = x1.shape[1]
     lin1 = x1 @ w[:, :d1].T          # [n1, L]
     lin2 = x2 @ w[:, d1:].T          # [n2, L]

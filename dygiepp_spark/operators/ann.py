@@ -1,0 +1,108 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two tiers, same output contract (query_id, vec_id, cosine, rn):
+
+- `brute_force_topk`: the correctness baseline — broadcast the query
+  set, score every candidate with a JVM-side zip_with/aggregate dot
+  product (narrow map over the candidate scan; per-query top-k is the
+  only shuffle and it carries k rows per query).
+- `lsh_topk`: the scale path — random-hyperplane LSH buckets both
+  sides; candidates share a bucket in >= 1 of `n_tables` tables, then
+  exact re-rank. Recall < 1 by construction; measured vs brute force
+  in tests (tests/test_ann_dedup.py).
+
+Hyperplanes are derived deterministically from a seed so executors
+regenerate them instead of shipping matrices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _cosine(av: Column, bv: Column) -> Column:
+    return _dot(av, bv) / (F.sqrt(_dot(av, av)) * F.sqrt(_dot(bv, bv)))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """queries: (query_id, qv array<float>). Exact cosine top-k."""
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .filter(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("vec_id"),
+                      _cosine(F.col("qv"), F.col(vec_col)).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id",
+                    F.col("cos").alias("cosine"), "rn"))
+
+
+def _hyperplanes(dim: int, n_tables: int, bits: int,
+                 seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables * bits, dim)).tolist()
+
+
+def _bucket_cols(vec: Column, planes: list[list[float]],
+                 n_tables: int, bits: int) -> Column:
+    """array of n_tables bucket ids; bit b of table t = sign of the
+    projection onto plane t*bits+b. Pure JVM expressions."""
+    signs = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(p) for p in plane]),
+                           lambda x, w_: x.cast("double") * w_),
+                F.lit(0.0), lambda acc, v: acc + v) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for b in range(bits):
+            bucket = bucket * 2 + signs[t * bits + b]
+        tables.append(bucket)
+    return F.array(*tables)
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_tables: int = 8, bits: int = 6,
+             seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH-blocked top-k. Candidate set = union of
+    same-bucket vectors over n_tables tables; exact cosine re-rank."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_tables, bits, seed)
+
+    e_b = (emb.withColumn(
+        "buckets", _bucket_cols(F.col(vec_col), planes, n_tables, bits))
+        .select(id_col, vec_col,
+                F.posexplode("buckets").alias("table", "bucket")))
+    q_b = (queries.withColumn(
+        "buckets", _bucket_cols(F.col("qv"), planes, n_tables, bits))
+        .select("query_id", "qv",
+                F.posexplode("buckets").alias("table", "bucket")))
+
+    cand = (e_b.join(q_b, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", "qv", F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("v"))
+            .dropDuplicates(["query_id", "vec_id"]))
+    scored = cand.select("query_id", "vec_id",
+                         _cosine(F.col("qv"), F.col("v")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id",
+                    F.col("cos").alias("cosine"), "rn"))

@@ -33,14 +33,23 @@ def connected_components(edges: DataFrame,
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()))
     # symmetrize once; dedup to keep the per-iteration join small
     sym = (e.select("src", "dst")
-           .unionByName(e.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst")))
-           .distinct()
-           .localCheckpoint(eager=True))
+            .unionByName(e.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True))
+
+    # size the loop's partitioning to the graph, not to the session
+    # default — a small graph on 32 shuffle partitions pays ~32 empty
+    # tasks per iteration in pure scheduler overhead. At real scale
+    # n_parts grows with the edge count.
+    n_edges = sym.count()
+    n_parts = max(1, min(int(n_edges // 500_000) + 1, 2048))
+    sym = sym.repartition(n_parts, "dst").localCheckpoint(eager=True)
 
     labels = (sym.select(F.col("src").alias("node"))
               .distinct()
-              .withColumn("component", F.col("node")))
+              .withColumn("component", F.col("node"))
+              .repartition(n_parts, "node"))
 
     for _ in range(max_iters):
         # candidate label for each node: min over neighbors' labels

@@ -1,0 +1,176 @@
+"""Deduplication operator suite over a corpus DataFrame.
+
+The training-data-pipeline ops the task mandates as first-class:
+exact (hash-groupBy), MinHash-LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. Each returns DataFrames; the SQL-twinned
+query registry (plans/queries_corpus.py) exposes the oracle-checked
+forms; this module is the reusable API with the scale knobs.
+
+Scale notes baked in:
+- join keys are always hashes/signatures, never raw text;
+- shingles are word-3-grams (sparse document frequency; see
+  queries_corpus._shingles rationale) with an optional df-cap that
+  drops stop-shingles before the candidate join (skew guard);
+- survivors elected deterministically (min id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 16  # md5-nibble simhash (portable to the SQL oracle)
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: (fp, n, keeper) for every duplicated content hash."""
+    return (docs.groupBy(F.md5(text_col).alias("fp"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.min(id_col).cast("bigint").alias("keeper"))
+            .filter(F.col("n") > 1))
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Corpus with exact duplicates removed (keeper = min id per
+    content hash). One shuffle on the content hash."""
+    keep = (docs.groupBy(F.md5(text_col).alias("fp"))
+            .agg(F.min(id_col).alias(id_col)))
+    return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    tk = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.when(
+        F.size(tk) >= k,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(tk) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j + 1) for j in range(k)]),
+        ))).otherwise(F.array(F.trim(F.col(text_col))))
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n_hashes: int = 16, n_bands: int = 4,
+                           df_cap: int | None = 1000) -> DataFrame:
+    """MinHash-LSH near-dup candidates (id1 < id2, n_bands matched).
+    `df_cap` drops shingles appearing in more than that many docs
+    before hashing — the explicit hot-key guard for web-scale corpora
+    (stop-phrases otherwise concentrate the band join)."""
+    rows = n_hashes // n_bands
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(word_shingles(text_col)).alias("s"))
+    if df_cap is not None:
+        hot = (sh.groupBy("s").agg(F.countDistinct("id").alias("df"))
+               .filter(F.col("df") > df_cap).select("s"))
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    seeds = (docs.sparkSession.range(n_hashes)
+             .select(F.col("id").cast("int").alias("seed")))
+    mh = (sh.crossJoin(F.broadcast(seeds))
+          .groupBy("id", "seed")
+          .agg(F.min(F.xxhash64("seed", "s")).alias("minhash")))
+    bands = (mh.withColumn("band", F.expr(f"seed div {rows}").cast("int"))
+             .groupBy("id", "band")
+             .agg(F.xxhash64(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("seed",
+                                                          "minhash"))),
+                     lambda x: x["minhash"].cast("string")), "|"))
+                 .alias("sig")))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id1"),
+                     F.col("b.id").alias("id2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over shared-shingle candidate pairs."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(word_shingles(text_col)).alias("s"))
+    sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id1"),
+                      F.col("b.id").alias("id2"))
+             .agg(F.count(F.lit(1)).alias("shared")))
+    x, y = sz.alias("x"), sz.alias("y")
+    jac = (F.col("shared") * F.lit(1.0)
+           / (F.col("x.n") + F.col("y.n") - F.col("shared")))
+    return (pairs.join(x, F.col("id1") == F.col("x.id"))
+            .join(y, F.col("id2") == F.col("y.id"))
+            .select("id1", "id2", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint, fully JVM-side and SQL-portable: bit j of
+    the hash is the sign of Σ_tokens (+1 if the j-th md5 nibble of the
+    token >= 8 else -1). Near-dups differ in few bits (compare with
+    bit_count(simhash1 ^ simhash2))."""
+    tk = F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = docs.select(F.col(id_col).alias("id"), tk.alias("tok"))
+    pos = (docs.sparkSession.range(bits)
+           .select((F.col("id") + 1).cast("int").alias("j")))
+    per_bit = (toks.crossJoin(F.broadcast(pos))
+               .select("id", "j",
+                       F.when(F.substring(F.md5("tok"), F.col("j"), 1)
+                              .isin("8", "9", "a", "b", "c", "d",
+                                    "e", "f"), 1)
+                       .otherwise(-1).alias("v"))
+               .groupBy("id", "j")
+               .agg(F.sum("v").alias("sv")))
+    return (per_bit.groupBy("id")
+            .agg(F.sum(F.when(F.col("sv") >= 0,
+                              F.expr("shiftleft(cast(1 as bigint), j - 1)"))
+                       .otherwise(0)).cast("bigint").alias("simhash"))
+            .select(F.col("id").cast("bigint").alias(id_col), "simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance. Blocking: equal
+    upper byte (at scale: multiple rotated-block tables)."""
+    sh = simhash(docs, id_col, text_col)
+    blocked = sh.withColumn("blk", F.shiftright("simhash", 8))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id1"),
+                    F.col(f"b.{id_col}").alias("id2"),
+                    ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force verify; at scale,
+    run behind LSH/IVF blocking from operators/ann.py)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y,
+                       lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    n = emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).alias("v"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = (dot(F.col("a.v"), F.col("b.v"))
+           / (F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+              * F.sqrt(dot(F.col("b.v"), F.col("b.v")))))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id1"),
+                    F.col("b.id").alias("id2"), cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

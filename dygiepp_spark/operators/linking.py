@@ -75,19 +75,22 @@ def lsh_candidate_edges(nodes: DataFrame,
     sh = shingled.select("gid", F.explode("shingles").alias("s"))
     seeds = (sh.sparkSession.range(n_hashes)
              .select(F.col("id").cast("int").alias("seed")))
+    # xxhash64 (not md5): this path has no SQL oracle to stay
+    # byte-compatible with, and the 64-bit JVM hash is ~5x cheaper —
+    # it dominates the blocking cost at mention scale.
     mh = (sh.crossJoin(F.broadcast(seeds))
           .groupBy("gid", "seed")
-          .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"),
-                                    F.lit("|"), F.col("s"))))
+          .agg(F.min(F.xxhash64(F.col("seed"), F.col("s")))
                .alias("minhash")))
     bands = (mh.withColumn("band",
                            F.expr(f"seed div {rows_per_band}").cast("int"))
              .groupBy("gid", "band")
-             .agg(F.md5(F.array_join(
+             .agg(F.xxhash64(F.array_join(
                  F.transform(
                      F.array_sort(F.collect_list(F.struct("seed",
                                                           "minhash"))),
-                     lambda x: x["minhash"]), "|")).alias("sig")))
+                     lambda x: x["minhash"].cast("string")), "|"))
+                 .alias("sig")))
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

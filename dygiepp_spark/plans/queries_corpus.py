@@ -204,14 +204,19 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- minhash / LSH
 def _shingles() -> Column:
-    """Distinct word-2-gram shingles, JVM-side (X7)."""
+    """Distinct word-3-gram shingles, JVM-side (X7). 3-grams keep the
+    shared-shingle join sparse: with a small vocabulary, 2-grams are so
+    dense that the candidate join degenerates toward all-pairs (the
+    hot-shingle skew problem at scale); 3-grams make each shingle's
+    document frequency small, so pairs ~ Σ df² stays linear-ish."""
     tk = _toks()
     return F.when(
-        F.size(tk) >= 2,
+        F.size(tk) >= 3,
         F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(tk) - 2),
+            F.sequence(F.lit(0), F.size(tk) - 3),
             lambda i: F.concat(F.element_at(tk, i + 1), F.lit(" "),
-                               F.element_at(tk, i + 2)),
+                               F.element_at(tk, i + 2), F.lit(" "),
+                               F.element_at(tk, i + 3)),
         ))).otherwise(F.array().cast("array<string>"))
 
 
@@ -219,8 +224,8 @@ _SH_CTE = """
 toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
          FROM documents),
 sh AS (SELECT DISTINCT doc_id,
-              UNNEST(list_transform(generate_series(1, len(t) - 1),
-                     i -> t[i] || ' ' || t[i + 1])) AS s
+              UNNEST(list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
        FROM toks),
 mh AS (SELECT doc_id, CAST(seed AS INT) AS seed,
               MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS minhash
@@ -401,6 +406,34 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id",
                     F.round("cos", 4).alias("cosine"), "rn")
             .orderBy("query_id", "rn"))
+
+
+# ------------------------------------------------------- simhash
+@register("q_simhash", sql="""
+WITH toks AS (SELECT doc_id,
+                     UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents),
+bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN substr(md5(tok), j, 1) IN
+                         ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE -1 END) AS sv
+         FROM toks CROSS JOIN
+              (SELECT UNNEST(generate_series(1, 16)) AS j) p
+         GROUP BY doc_id, j)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN sv >= 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+""")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (operators/dedup.py::simhash) —
+    bit j = sign of the token-weighted j-th md5 nibble, portable to
+    the SQL oracle bit-for-bit."""
+    from dygiepp_spark.operators.dedup import simhash
+    return (simhash(_docs(spark, sf_dir))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "simhash")
+            .orderBy("doc_id"))
 
 
 # ------------------------------------------------------- CC with SQL oracle

@@ -1,0 +1,185 @@
+"""Dedup / ANN / multimodal / jsonl-source operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+# --------------------------------------------------------------- dedup
+def test_exact_dedup_removes_known_dups(spark, docs):
+    from dygiepp_spark.operators.dedup import dedup_exact, exact_duplicates
+    dups = exact_duplicates(docs).collect()
+    n_extra = sum(r.n - 1 for r in dups)
+    kept = dedup_exact(docs)
+    assert kept.count() == docs.count() - n_extra
+    # deduped corpus has fully unique texts
+    assert kept.select("text").distinct().count() == kept.count()
+    # keepers survive
+    keepers = {r.keeper for r in dups}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert keepers <= kept_ids
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    """Exact duplicates share all shingles => all bands match => every
+    exact-dup pair must be an LSH candidate (recall-1 floor)."""
+    from dygiepp_spark.operators.dedup import minhash_lsh_candidates
+    dup_pairs = (docs.alias("a").join(
+        docs.alias("b"),
+        (F.col("a.text") == F.col("b.text"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"),
+                F.col("b.doc_id").alias("id2")))
+    cand = minhash_lsh_candidates(docs).select("id1", "id2")
+    missed = dup_pairs.join(cand, ["id1", "id2"], "left_anti").count()
+    assert missed == 0
+    # and those pairs matched on all 4 bands
+    full = (minhash_lsh_candidates(docs)
+            .join(dup_pairs, ["id1", "id2"], "left_semi")
+            .filter(F.col("n_bands") == 4))
+    assert full.count() == dup_pairs.count()
+
+
+def test_ngram_jaccard_exact_dups_score_one(spark, docs):
+    from dygiepp_spark.operators.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(docs, threshold=0.999)
+    dup_pairs = (docs.alias("a").join(
+        docs.alias("b"),
+        (F.col("a.text") == F.col("b.text"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))))
+    assert pairs.count() >= dup_pairs.count()
+
+
+def test_simhash_identical_for_dups_and_portable(spark, docs):
+    from dygiepp_spark.operators.dedup import simhash
+    sh = simhash(docs.limit(100))
+    assert sh.count() == 100
+    joined = (docs.alias("a").join(docs.alias("b"),
+              (F.col("a.text") == F.col("b.text"))
+              & (F.col("a.doc_id") != F.col("b.doc_id")))
+              .select(F.col("a.doc_id").alias("d1"),
+                      F.col("b.doc_id").alias("d2")))
+    sh_all = simhash(docs)
+    s1 = sh_all.withColumnRenamed("doc_id", "d1") \
+               .withColumnRenamed("simhash", "h1")
+    s2 = sh_all.withColumnRenamed("doc_id", "d2") \
+               .withColumnRenamed("simhash", "h2")
+    diff = (joined.join(s1, "d1").join(s2, "d2")
+            .filter(F.col("h1") != F.col("h2")))
+    assert diff.count() == 0
+
+
+# ----------------------------------------------------------------- ANN
+def test_ann_lsh_recall_vs_brute_force(spark, emb):
+    from dygiepp_spark.operators.ann import brute_force_topk, lsh_topk
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")))
+    bf = brute_force_topk(emb, queries, k=5)
+    ls = lsh_topk(emb, queries, k=5, n_tables=12, bits=4)
+    bf_set = {(r.query_id, r.vec_id) for r in bf.collect()}
+    ls_set = {(r.query_id, r.vec_id) for r in ls.collect()}
+    recall = len(bf_set & ls_set) / len(bf_set)
+    # random gaussian vectors are a worst case for LSH; still demand
+    # far better than the ~1% random-candidate floor
+    assert recall >= 0.3, recall
+    # exact re-rank: every returned cosine matches brute force
+    joined = (ls.alias("l").join(
+        bf.alias("b"), ["query_id", "vec_id"])
+        .filter(F.abs(F.col("l.cosine") - F.col("b.cosine")) > 1e-9))
+    assert joined.count() == 0
+
+
+# ---------------------------------------------------------- multimodal
+def test_multimodal_features_deterministic(spark):
+    from dygiepp_spark.operators.multimodal import (extract_media_features,
+                                                    synth_media)
+    media = synth_media(spark, 48)
+    f1 = extract_media_features(media).orderBy("media_id").collect()
+    f2 = extract_media_features(media).orderBy("media_id").collect()
+    assert [r.features for r in f1] == [r.features for r in f2]
+    assert all(r.decode_status == "ok" and len(r.features) == 32
+               for r in f1)
+
+
+def test_multimodal_frame_plan_prunes_payload(spark):
+    from dygiepp_spark.operators.multimodal import (frame_sample_plan,
+                                                    synth_media)
+    media = synth_media(spark, 30)
+    plan = frame_sample_plan(media, every_nth=7)
+    rows = plan.collect()
+    assert all(r.frame_idx % 7 == 0 for r in rows)
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in explained
+
+
+def test_real_decode_raises():
+    from dygiepp_spark.operators.multimodal import real_decode
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image")
+
+
+# ------------------------------------------------------- jsonl source
+def test_document_jsonl_roundtrip(spark, tmp_path):
+    import json
+    docs = [
+        {"doc_key": "d1", "dataset": "scierc_style",
+         "sentences": [["the", "fast", "parser", "uses", "spark"],
+                       ["it", "scales"]]},
+        {"doc_key": "d2", "dataset": "scierc_style",
+         "sentences": [["batch", "stream", "join", "merge"]]},
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.sources.jsonl import (docs_to_pages,
+                                             read_document_jsonl,
+                                             triples_to_predictions)
+    df = read_document_jsonl(spark, str(p))
+    assert df.count() == 2
+    row = {r.doc_key: r.text for r in df.collect()}
+    assert row["d1"] == "the fast parser uses spark it scales"
+
+    triples = extract_triples(docs_to_pages(df), from_html=True)
+    preds = triples_to_predictions(triples)
+    assert preds.count() <= 2
+    assert "predicted_ner" in preds.columns
+
+    # decode parity with the oracle on the same text
+    from dygiepp_spark.kernel.oracle import decode_corpus, triple_prf
+    gold = decode_corpus([(k, t) for k, t in row.items()])
+    import pandas as pd
+    pred = triples.toPandas()
+    m = triple_prf(pred, gold)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0
+
+
+# -------------------------------------------------------- streaming
+def test_streaming_wrapper_matches_batch(spark, tmp_path):
+    from dygiepp_spark.sources.pages import synth_pages
+    from dygiepp_spark.streaming import stream_pages_to_triples
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    (synth_pages(spark, "/root/testdata/sf0.001").limit(40)
+     .drop("partition_id")
+     .write.parquet(pages_dir))
+    q = stream_pages_to_triples(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    from dygiepp_spark.operators.extract import extract_triples
+    batch = extract_triples(
+        spark.read.parquet(pages_dir), from_html=True)
+    assert got.count() == batch.count()
