@@ -47,6 +47,16 @@ def get_spark(app_name: str = "dygiepp_spark",
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Pin BLAS to one thread per python worker. Spark already supplies
+    # the process-level parallelism; multithreaded BLAS inside each of
+    # N workers spawns N*cores threads that thrash the scheduler —
+    # measured 3x slowdown even single-process on the small matmuls of
+    # the decode kernel. Must be set before numpy loads in any worker
+    # (workers inherit the JVM env, which inherits this process's).
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+              "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS",
+              "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(v, "1")
     # make the package importable in executor python workers (local mode
     # inherits the JVM env); addPyFile via ensure_pyfiles is the
     # cluster-grade path.
