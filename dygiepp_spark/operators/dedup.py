@@ -59,6 +59,8 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     `df_cap` drops shingles appearing in more than that many docs
     before hashing — the explicit hot-key guard for web-scale corpora
     (stop-phrases otherwise concentrate the band join)."""
+    from dygiepp_spark.plans.session import spread
+    docs = spread(docs)
     rows = n_hashes // n_bands
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(word_shingles(text_col)).alias("s"))
@@ -66,19 +68,21 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
         hot = (sh.groupBy("s").agg(F.countDistinct("id").alias("df"))
                .filter(F.col("df") > df_cap).select("s"))
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    seeds = (docs.sparkSession.range(n_hashes)
-             .select(F.col("id").cast("int").alias("seed")))
-    mh = (sh.crossJoin(F.broadcast(seeds))
-          .groupBy("id", "seed")
-          .agg(F.min(F.xxhash64("seed", "s")).alias("minhash")))
-    bands = (mh.withColumn("band", F.expr(f"seed div {rows}").cast("int"))
-             .groupBy("id", "band")
-             .agg(F.xxhash64(F.array_join(
-                 F.transform(
-                     F.array_sort(F.collect_list(F.struct("seed",
-                                                          "minhash"))),
-                     lambda x: x["minhash"].cast("string")), "|"))
-                 .alias("sig")))
+    # all k hashes as one projection per shingle row, then k
+    # element-wise MIN aggregates in a single groupBy — no k-fold row
+    # blowup, one shuffle, full map-side partial aggregation.
+    hashed = sh.select(
+        "id", *[F.xxhash64(F.lit(seed), "s").alias(f"h{seed}")
+                for seed in range(n_hashes)])
+    mh = hashed.groupBy("id").agg(
+        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(n_hashes)])
+    bands = mh.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws("|", *[
+                F.col(f"h{band * rows + r}").cast("string")
+                for r in range(rows)]))
+            for band in range(n_bands)])).alias("band", "sig"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.sig") == F.col("b.sig"))
@@ -92,6 +96,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard over shared-shingle candidate pairs."""
+    from dygiepp_spark.plans.session import spread
+    docs = spread(docs)
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(word_shingles(text_col)).alias("s"))
     sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -117,6 +123,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     the hash is the sign of Σ_tokens (+1 if the j-th md5 nibble of the
     token >= 8 else -1). Near-dups differ in few bits (compare with
     bit_count(simhash1 ^ simhash2))."""
+    from dygiepp_spark.plans.session import spread
+    docs = spread(docs)
     tk = F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
     toks = docs.select(F.col(id_col).alias("id"), tk.alias("tok"))
     pos = (docs.sparkSession.range(bits)

@@ -72,6 +72,13 @@ def get_spark(app_name: str = "dygiepp_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64MB advisory size collapses small-but-CPU-heavy
+        # intermediate stages (LSH verify, array ops) to one task on
+        # test-scale data; 4MB keeps them parallel without exploding
+        # task counts at real scale.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
@@ -83,6 +90,22 @@ def get_spark(app_name: str = "dygiepp_spark",
     )
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread(df, min_factor: float = 0.5):
+    """Ensure a DataFrame has enough partitions to use the cluster.
+
+    Small single-row-group parquet files (the sandbox test data) scan
+    as ONE split, serializing every narrow stage after them. On real
+    inputs (thousands of WARC splits) this is a no-op — the guard
+    checks the actual partition count and only then pays the
+    repartition shuffle.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
+        return df.repartition(target)
+    return df
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

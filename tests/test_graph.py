@@ -31,13 +31,16 @@ def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
     return comp
 
 
-def test_cc_matches_union_find(spark):
+@pytest.mark.parametrize("local_max", [0, 10**6],
+                         ids=["distributed", "local_solve"])
+def test_cc_matches_union_find(spark, local_max):
     edges = [(1, 2), (2, 3), (10, 11), (12, 12), (20, 21), (21, 22),
              (22, 23), (23, 24), (5, 3)]
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     from dygiepp_spark.operators.cc import connected_components
     got = {r.node: r.component
-           for r in connected_components(df).collect()}
+           for r in connected_components(
+               df, local_solve_max_edges=local_max).collect()}
     assert got == _union_find(edges)
 
 
@@ -51,15 +54,18 @@ def test_cc_property_random_graphs(edges):
         assert comp[a] == comp[b]
 
 
-def test_cc_random_graph_spark(spark):
+def test_cc_random_graph_spark_both_paths_agree(spark):
     import random
     rng = random.Random(7)
     edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(50)]
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     from dygiepp_spark.operators.cc import connected_components
-    got = {r.node: r.component
+    dist = {r.node: r.component
+            for r in connected_components(
+                df, local_solve_max_edges=0).collect()}
+    loc = {r.node: r.component
            for r in connected_components(df).collect()}
-    assert got == _union_find(edges)
+    assert dist == loc == _union_find(edges)
 
 
 def test_linking_groups_exact_and_near(spark):

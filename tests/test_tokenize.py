@@ -27,7 +27,8 @@ def test_extract_text_entities_and_none():
     assert extract_text(b"") == ""
 
 
-@given(st.text(alphabet=st.characters(blacklist_characters="<>&"),
+@given(st.text(alphabet=st.characters(blacklist_characters="<>&",
+                                      blacklist_categories=["Cs"]),
                max_size=200))
 @settings(max_examples=100, deadline=None)
 def test_extract_text_roundtrip_property(text):
