@@ -42,6 +42,15 @@ from dygiepp_spark.kernel.tokenize import doc_to_sentences
 F32 = np.float32
 ANTECEDENT_WINDOW = 50  # top-K antecedent cap (ref coref max_antecedents)
 
+# Memory-bounding block sizes. Web pages can be arbitrarily long; every
+# stage whose naive form is O(k^2) or O(S*L*H) memory is computed in
+# fixed-size blocks so per-document peak memory is bounded regardless
+# of document length (compute stays the same; the banded antecedent
+# window additionally caps propagation compute at O(k*window)).
+PROP_BLOCK = 512     # propagation row-block
+SPAN_BLOCK = 8192    # NER span-block
+PAIR_BLOCK = 768     # max pruned spans per sentence-group for M7/M9
+
 
 def _encode(tokens: list[str], w: dict) -> np.ndarray:
     """M1: hashed token embeddings + 3-gram contextual mixer.
@@ -76,31 +85,61 @@ def _beam_keep(scores: np.ndarray, starts: np.ndarray, ends: np.ndarray,
 
 
 def _propagate(g: np.ndarray, mention_scores: np.ndarray,
-               w: dict, iters: int) -> tuple[np.ndarray, np.ndarray]:
+               w: dict, iters: int
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """M5: T iterations of gated span-graph propagation
     g_i ← f ⊙ g_i + (1−f) ⊙ Σ_j P_ij g_j with P from normalized
     antecedent scores (j strictly earlier, window-capped, dummy ε=0).
-    Returns (updated g, final antecedent logits [k,k] with -inf mask).
+
+    Computed in row-blocks over the banded antecedent window, so peak
+    memory is O(PROP_BLOCK · window) and compute O(k · window) — long
+    documents cannot blow up. Synchronous update (all rows read the
+    pre-iteration g).
+
+    Returns (updated g, best_antecedent [k] (−1 = dummy/new cluster),
+    best_score [k]) — the W3 decode computed from the LAST iteration's
+    pre-update scores, matching the reference's decode-on-final-scores
+    order (ref:dygie/models/coref.py::CorefResolver).
     """
     k = g.shape[0]
+    best = np.full(k, -1, dtype=np.int64)
+    best_sc = np.zeros(k, dtype=F32)
     if k == 0:
-        return g, np.full((0, 0), -np.inf, dtype=F32)
-    i_idx = np.arange(k)
-    allowed = (i_idx[None, :] < i_idx[:, None]) & \
-              (i_idx[:, None] - i_idx[None, :] <= ANTECEDENT_WINDOW)
-    ant = np.full((k, k), -np.inf, dtype=F32)
-    for _ in range(max(iters, 1)):
-        raw = nn.bilinear_scalar(g, g, w["cor_u"])
-        raw = raw + mention_scores[:, None] + mention_scores[None, :]
-        ant = np.where(allowed, raw, -np.inf).astype(F32)
-        # P over [dummy(0) | antecedents]; dummy absorbs all mass when
-        # a span has no allowed antecedent.
-        logits = np.concatenate([np.zeros((k, 1), F32), ant], axis=1)
-        p = nn.softmax(logits, axis=1)[:, 1:]                  # [k, k]
-        upd = (p @ g).astype(F32)
-        f = nn.sigmoid(np.concatenate([g, upd], axis=1) @ w["f_w"] + w["f_b"])
-        g = (f * g + (F32(1) - f) * upd).astype(F32)
-    return g, ant
+        return g, best, best_sc
+    win = ANTECEDENT_WINDOW
+    n_iters = max(iters, 1)
+    for it in range(n_iters):
+        g_old = g
+        gu = (g_old.astype(F32) @ w["cor_u"])           # [k, D]
+        new_g = np.empty_like(g_old)
+        last = it == n_iters - 1
+        for i0 in range(0, k, PROP_BLOCK):
+            i1 = min(i0 + PROP_BLOCK, k)
+            lo = max(0, i0 - win)
+            raw = gu[i0:i1] @ g_old[lo:i1].T            # [b, i1-lo]
+            raw = raw + mention_scores[i0:i1, None] \
+                + mention_scores[None, lo:i1]
+            ii = np.arange(i0, i1)[:, None]
+            jj = np.arange(lo, i1)[None, :]
+            allowed = (jj < ii) & (ii - jj <= win)
+            sc = np.where(allowed, raw, -np.inf).astype(F32)
+            logits = np.concatenate(
+                [np.zeros((i1 - i0, 1), F32), sc], axis=1)
+            p = nn.softmax(logits, axis=1)[:, 1:]       # [b, i1-lo]
+            upd = (p @ g_old[lo:i1]).astype(F32)
+            f = nn.sigmoid(
+                np.concatenate([g_old[i0:i1], upd], axis=1)
+                @ w["f_w"] + w["f_b"])
+            new_g[i0:i1] = (f * g_old[i0:i1]
+                            + (F32(1) - f) * upd).astype(F32)
+            if last:
+                b_idx = np.argmax(logits, axis=1)       # 0 = dummy
+                mx = logits[np.arange(i1 - i0), b_idx]
+                sel = b_idx > 0
+                best[i0:i1][sel] = lo + b_idx[sel] - 1
+                best_sc[i0:i1] = mx
+        g = new_g
+    return g, best, best_sc
 
 
 def decode_document(url: str, text: str, w: dict) -> dict:
@@ -147,22 +186,26 @@ def decode_document(url: str, text: str, w: dict) -> dict:
     p_idx = np.nonzero(keep)[0]          # document order (sid, start, end)
 
     # M5: propagation over the pruned beam (document-level)
-    gp, _ = _propagate(g[p_idx], m_scores[p_idx], w, C.PROP_ITERS)
+    gp, _, _ = _propagate(g[p_idx], m_scores[p_idx], w, C.PROP_ITERS)
     g[p_idx] = gp                         # propagated reprs feed M6/M7/M9
 
     # M6: biaffine NER over ALL spans:
     # logit[i,l] = h_sᵀ U_l h_e + w_l·g_i + b_l  [BASELINE biaffine]
-    hs, he = h[starts], h[ends]
-    ner_tmp = np.tensordot(hs, w["ner_u"], axes=([1], [1]))  # [S, L, H]
-    ner_bil = (ner_tmp * he[:, None, :]).sum(axis=2)         # [S, L]
-    ner_logits = ner_bil + g @ w["ner_w"].T + w["ner_b"]
-    ner_lab = np.argmax(ner_logits, axis=1)
-    for i in np.nonzero(ner_lab != 0)[0]:
-        out["mentions"].append((
-            int(sids[i]), int(starts[i]), int(ends[i]),
-            C.NER_LABELS[int(ner_lab[i])],
-            float(ner_logits[i, ner_lab[i]]),
-        ))
+    # span-blocked so peak memory is O(SPAN_BLOCK · L · H)
+    for s0 in range(0, len(starts), SPAN_BLOCK):
+        s1 = min(s0 + SPAN_BLOCK, len(starts))
+        hs, he = h[starts[s0:s1]], h[ends[s0:s1]]
+        ner_tmp = np.tensordot(hs, w["ner_u"], axes=([1], [1]))
+        ner_bil = (ner_tmp * he[:, None, :]).sum(axis=2)     # [b, L]
+        ner_logits = ner_bil + g[s0:s1] @ w["ner_w"].T + w["ner_b"]
+        ner_lab = np.argmax(ner_logits, axis=1)
+        for bi in np.nonzero(ner_lab != 0)[0]:
+            i = s0 + bi
+            out["mentions"].append((
+                int(sids[i]), int(starts[i]), int(ends[i]),
+                C.NER_LABELS[int(ner_lab[bi])],
+                float(ner_logits[bi, ner_lab[bi]]),
+            ))
 
     # M7: biaffine relations over pruned pairs within a sentence
     # (J1 fused in-kernel — SURVEY.md §2.3: per-sentence k is small).
@@ -171,35 +214,45 @@ def decode_document(url: str, text: str, w: dict) -> dict:
                             C.COREF_SPANS_PER_WORD)
     c_idx = np.nonzero(coref_keep)[0]
     if c_idx.size:
-        _, ant = _propagate(g[c_idx], m_scores[c_idx], w, 1)
-        best = np.argmax(
-            np.concatenate([np.zeros((len(c_idx), 1), F32), ant], axis=1),
-            axis=1)
-        mx = np.concatenate(
-            [np.zeros((len(c_idx), 1), F32), ant], axis=1)[
-                np.arange(len(c_idx)), best]
+        _, best, mx = _propagate(g[c_idx], m_scores[c_idx], w, 1)
         for ii in range(len(c_idx)):
-            if best[ii] > 0 and mx[ii] > 0:
-                j = best[ii] - 1
-                a, b = c_idx[ii], c_idx[j]
+            if best[ii] >= 0 and mx[ii] > 0:
+                a, b = c_idx[ii], c_idx[best[ii]]
                 out["coref_links"].append((
                     int(sids[a]), int(starts[a]), int(ends[a]),
                     int(sids[b]), int(starts[b]), int(ends[b]),
                     float(mx[ii]),
                 ))
 
-    # One doc-level biaffine over the whole beam, masked to
-    # same-sentence ordered pairs — replaces the per-sentence loop
-    # (same per-pair arithmetic; J1 stays fused in-kernel).
-    if p_idx.size >= 2:
-        gk = g[p_idx]
+    # M7: batched biaffine over sentence-GROUPS of the beam, masked to
+    # same-sentence ordered pairs — the per-pair arithmetic of the
+    # per-sentence loop, but one matmul per ≤PAIR_BLOCK spans, so both
+    # speed (few BLAS calls/doc) and memory (O(PAIR_BLOCK²·L)) are
+    # bounded for arbitrarily long documents.
+    beam_sids = sids[p_idx]
+    groups: list[np.ndarray] = []
+    g_start = 0
+    while g_start < p_idx.size:
+        g_end = g_start
+        while g_end < p_idx.size:
+            sid_end = beam_sids[g_end]
+            nxt = np.searchsorted(beam_sids, sid_end, side="right")
+            if nxt - g_start > PAIR_BLOCK and g_end > g_start:
+                break
+            g_end = nxt
+        groups.append(np.arange(g_start, g_end))
+        g_start = g_end
+    for grp in groups:
+        if grp.size < 2:
+            continue
+        sel = p_idx[grp]
+        gk = g[sel]
         logits = nn.biaffine(gk, gk, w["rel_u"], w["rel_w"], w["rel_b"])
         lab = np.argmax(logits, axis=2)
-        same_sent = sids[p_idx][:, None] == sids[p_idx][None, :]
-        k = p_idx.size
-        valid = same_sent & (lab != 0) & ~np.eye(k, dtype=bool)
+        same_sent = sids[sel][:, None] == sids[sel][None, :]
+        valid = same_sent & (lab != 0) & ~np.eye(grp.size, dtype=bool)
         for a, b in np.argwhere(valid):
-            ia, ib = p_idx[a], p_idx[b]
+            ia, ib = sel[a], sel[b]
             l = int(lab[a, b])
             out["relations"].append((
                 int(sids[ia]), int(starts[ia]), int(ends[ia]),
@@ -218,24 +271,31 @@ def decode_document(url: str, text: str, w: dict) -> dict:
             float(t_logits[t, t_lab[t]]),
         ))
 
-    # M9: biaffine arguments — all triggers × whole beam in one call,
-    # masked to same-sentence pairs (J2 fused in-kernel).
+    # M9: biaffine arguments — triggers × beam spans of the same
+    # sentence-GROUP (J2 fused in-kernel), memory bounded like M7.
     if trig_pos.size and p_idx.size:
-        logits = nn.biaffine(h[trig_pos], g[p_idx], w["arg_u"],
-                             w["arg_w"], w["arg_b"])        # [T, k, L]
-        lab = np.argmax(logits, axis=2)
-        same_sent = (tok_sid[trig_pos][:, None]
-                     == sids[p_idx][None, :])
-        for ti, j in np.argwhere(same_sent & (lab != 0)):
-            t = trig_pos[ti]
-            ia = p_idx[j]
-            out["args"].append((
-                int(tok_sid[t]), int(t),
-                C.TRIGGER_LABELS[int(t_lab[t])],
-                int(starts[ia]), int(ends[ia]),
-                C.ARG_LABELS[int(lab[ti, j])],
-                float(logits[ti, j, lab[ti, j]]),
-            ))
+        trig_sids = tok_sid[trig_pos]
+        for grp in groups:
+            sel = p_idx[grp]
+            grp_sids = sids[sel]
+            t_mask = np.isin(trig_sids, np.unique(grp_sids))
+            tg = trig_pos[t_mask]
+            if tg.size == 0:
+                continue
+            logits = nn.biaffine(h[tg], g[sel], w["arg_u"],
+                                 w["arg_w"], w["arg_b"])    # [T, b, L]
+            lab = np.argmax(logits, axis=2)
+            same_sent = tok_sid[tg][:, None] == grp_sids[None, :]
+            for ti, j in np.argwhere(same_sent & (lab != 0)):
+                t = tg[ti]
+                ia = sel[j]
+                out["args"].append((
+                    int(tok_sid[t]), int(t),
+                    C.TRIGGER_LABELS[int(t_lab[t])],
+                    int(starts[ia]), int(ends[ia]),
+                    C.ARG_LABELS[int(lab[ti, j])],
+                    float(logits[ti, j, lab[ti, j]]),
+                ))
     return out
 
 
