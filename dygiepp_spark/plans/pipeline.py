@@ -70,11 +70,19 @@ def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
 
     t0 = time.time()
     triples = extract_triples(pages, from_html=True, with_partition=True)
+    # A5: observe() rides the write action — global metrics with no
+    # second pass over the data (SURVEY.md §2.4 A5).
+    from pyspark.sql import Observation
+    obs = Observation("kg_extraction")
+    triples = triples.observe(
+        obs, F.count(F.lit(1)).alias("n_triples"),
+        F.approx_count_distinct("url").alias("n_docs_approx"))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (triples.write.mode("overwrite")
      .partitionBy("partition_id")
      .parquet(os.path.join(out_dir, "triples")))
     elapsed = time.time() - t0
+    observed = obs.get
 
     written = spark.read.parquet(os.path.join(out_dir, "triples"))
     pages_per_part = (pages.groupBy("partition_id")
@@ -98,6 +106,7 @@ def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
 
     n_triples = sum(r.n_triples for r in stats)
     return {"run_id": run_id, "n_docs": n_docs, "n_triples": n_triples,
+            "observed_n_triples": int(observed["n_triples"]),
             "elapsed_sec": elapsed, "docs_per_sec": docs_per_sec,
             "partitions": [r.partition_id for r in stats]}
 
@@ -120,14 +129,27 @@ def build_graph(spark: SparkSession, triples: DataFrame
 
     w = Window.partitionBy("entity_id").orderBy(
         F.col("n_mentions").desc(), F.col("norm_text").asc())
-    nodes = (linked.withColumn("rk", F.row_number().over(w))
-             .groupBy("entity_id")
-             .agg(F.min(F.when(F.col("rk") == 1, F.col("norm_text")))
-                  .alias("canonical_text"),
-                  F.sum("n_mentions").cast("bigint").alias("n_mentions"),
-                  F.slice(F.array_sort(
-                      F.collect_list(F.struct("norm_text", "gid"))),
-                      1, 20).alias("members")))
+    node_core = (linked.withColumn("rk", F.row_number().over(w))
+                 .groupBy("entity_id")
+                 .agg(F.min(F.when(F.col("rk") == 1, F.col("norm_text")))
+                      .alias("canonical_text"),
+                      F.sum("n_mentions").cast("bigint")
+                      .alias("n_mentions")))
+    # members: up to 20 concrete mention occurrences (url, start, end)
+    # per entity — FIXTURES.md §3 provenance contract. Capped BEFORE
+    # collect so no entity ever aggregates an unbounded member list.
+    m_ent = (mentions
+             .withColumn("gid",
+                         F.xxhash64(F.lower(F.trim(F.col("mention")))))
+             .join(linked.select("gid", "entity_id"), "gid")
+             .select("entity_id", "url", "start", "end"))
+    wm = Window.partitionBy("entity_id").orderBy("url", "start", "end")
+    members = (m_ent.withColumn("mrk", F.row_number().over(wm))
+               .filter(F.col("mrk") <= 20)
+               .groupBy("entity_id")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("url", "start", "end"))).alias("members")))
+    nodes = node_core.join(members, "entity_id", "left")
 
     gid2ent = linked.select("gid", "entity_id")
     rel = (triples.filter(F.col("kind").isin("relation", "event_arg"))
