@@ -265,3 +265,87 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"),
                  F.count(F.lit(1)).cast("bigint").alias("n_events"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------- pivot
+@register("q_pivot_flags", sql="""
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_open,
+       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_filled,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2)
+           AS qty_open,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2)
+           AS qty_filled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q_pivot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation — the dialect-portable form of
+    df.groupBy().pivot() (identical plan shape: single hash agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    is_o = F.col("l_linestatus") == "O"
+    is_f = F.col("l_linestatus") == "F"
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.when(is_o, 1)).cast("bigint").alias("n_open"),
+                 F.count(F.when(is_f, 1)).cast("bigint").alias("n_filled"),
+                 F.round(F.sum(F.when(is_o, F.col("l_quantity"))
+                               .otherwise(0.0)), 2).alias("qty_open"),
+                 F.round(F.sum(F.when(is_f, F.col("l_quantity"))
+                               .otherwise(0.0)), 2).alias("qty_filled"))
+            .orderBy("l_returnflag"))
+
+
+# ------------------------------------------------------- running window
+@register("q_running_value", sql="""
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS INT) AS seq
+FROM events QUALIFY seq <= 20 ORDER BY user_id, seq
+""")
+def q_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (W5 family): deterministic frame
+    (ts, event_id tie-break), truncated per user for stable output."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    return (ev.withColumn(
+                "running_value",
+                F.round(F.sum("value").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+            .withColumn("seq", F.row_number().over(w).cast("int"))
+            .filter(F.col("seq") <= 20)
+            .select("user_id", "event_id", "running_value", "seq")
+            .orderBy("user_id", "seq"))
+
+
+# ------------------------------------------------------------ lag delta
+@register("q_event_gaps", sql="""
+WITH g AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+         - CAST(FLOOR(epoch(LAG(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+             AS gap_sec
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(gap_sec) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_sec) AS BIGINT) AS min_gap,
+       CAST(MAX(gap_sec) AS BIGINT) AS max_gap
+FROM g GROUP BY user_id ORDER BY user_id
+""")
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event deltas + per-user gap stats."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = (epoch - F.lag(epoch).over(w)).cast("bigint")
+    return (ev.withColumn("gap_sec", gap)
+            .groupBy("user_id")
+            .agg(F.count("gap_sec").cast("bigint").alias("n_gaps"),
+                 F.min("gap_sec").cast("bigint").alias("min_gap"),
+                 F.max("gap_sec").cast("bigint").alias("max_gap"))
+            .orderBy("user_id"))
