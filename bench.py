@@ -166,13 +166,19 @@ def run_scaling() -> dict:
     (no Spark; see BASELINE.md) shows the same ceiling, so the 8->32
     ratio measures the hardware, not the engine."""
     replicas = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "16"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     out = {}
     for cores in (2, 8, 32):
         spark = _session(cores)
-        res = run_extraction_bench(spark, SF_DIR, cores,
-                                   replicas=replicas)
+        best = None
+        for _ in range(repeats):
+            res = run_extraction_bench(spark, SF_DIR, cores,
+                                       replicas=replicas)
+            if best is None or res["triples_per_sec"] > \
+                    best["triples_per_sec"]:
+                best = res
         spark.stop()
-        out[f"local[{cores}]"] = res
+        out[f"local[{cores}]"] = best
 
     def eff(lo: int, hi: int) -> float:
         a = out[f"local[{lo}]"]["triples_per_sec"]

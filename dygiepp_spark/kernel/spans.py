@@ -11,22 +11,33 @@ key on it.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from dygiepp_spark.config import MAX_SPAN_WIDTH, SENT_CHUNK
 
 
-def enumerate_spans(n_tokens: int, max_width: int = MAX_SPAN_WIDTH) -> np.ndarray:
-    """All (start, end) with end-start < max_width, end-inclusive,
-    ordered by (start, end). Returns int64 array [n_spans, 2]."""
-    if n_tokens <= 0:
-        return np.empty((0, 2), dtype=np.int64)
+@lru_cache(maxsize=256)
+def _enumerate_spans_cached(n_tokens: int, max_width: int) -> np.ndarray:
     out = [
         (s, e)
         for s in range(n_tokens)
         for e in range(s, min(s + max_width, n_tokens))
     ]
-    return np.asarray(out, dtype=np.int64)
+    arr = np.asarray(out, dtype=np.int64)
+    arr.setflags(write=False)  # cached — callers must not mutate
+    return arr
+
+
+def enumerate_spans(n_tokens: int, max_width: int = MAX_SPAN_WIDTH) -> np.ndarray:
+    """All (start, end) with end-start < max_width, end-inclusive,
+    ordered by (start, end). Returns int64 array [n_spans, 2].
+    Memoized: sentence lengths are bounded by SENT_CHUNK, so only a
+    handful of enumerations ever exist per process."""
+    if n_tokens <= 0:
+        return np.empty((0, 2), dtype=np.int64)
+    return _enumerate_spans_cached(n_tokens, max_width)
 
 
 def span_count(n_tokens: int, max_width: int = MAX_SPAN_WIDTH) -> int:
