@@ -104,3 +104,99 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rn") <= k)
             .select("query_id", "vec_id",
                     F.col("cos").alias("cosine"), "rn"))
+
+
+def _assign_udf(centroids: np.ndarray):
+    """pandas UDF: nearest-centroid id per vector (one matmul per
+    Arrow batch; centroids travel in the closure — n_centroids*dim
+    floats, broadcast-sized)."""
+    cent = centroids.astype(np.float64)
+    c_norm2 = (cent * cent).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # argmin ||x-c||^2 = argmin c·c - 2 x·c
+        d = c_norm2[None, :] - 2.0 * (mat @ cent.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign
+
+
+def train_ivf_centroids(emb: DataFrame, n_centroids: int = 32,
+                        lloyd_iters: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        seed: int = 42) -> np.ndarray:
+    """Deterministic k-means-lite coarse quantizer: init = evenly
+    spaced vectors in id order; each Lloyd iteration is one
+    assign (narrow pandas UDF) + one groupBy-avg over exploded
+    dimensions (the centroid update as a DataFrame aggregation — no
+    per-iteration collect of the data, only of the tiny centroid
+    table)."""
+    n = emb.count()
+    step = max(n // n_centroids, 1)
+    w = Window.orderBy(id_col)
+    init_rows = (emb.withColumn("_rn", F.row_number().over(w))
+                 .filter(((F.col("_rn") - 1) % step == 0)
+                         & (F.col("_rn") <= step * n_centroids))
+                 .select(vec_col).collect())
+    centroids = np.vstack([np.asarray(r[0], dtype=np.float64)
+                           for r in init_rows])[:n_centroids]
+
+    for _ in range(lloyd_iters):
+        assign = _assign_udf(centroids)
+        assigned = emb.select(F.col(vec_col).alias("v"),
+                              assign(F.col(vec_col)).alias("c"))
+        upd = (assigned.select("c", F.posexplode("v").alias("pos", "x"))
+               .groupBy("c", "pos").agg(F.avg("x").alias("m"))
+               .collect())
+        new = centroids.copy()
+        for r in upd:
+            new[r.c, r.pos] = r.m
+        centroids = new
+    return centroids
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 32, n_probe: int = 4,
+             lloyd_iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into n_centroids
+    inverted lists; each query probes its n_probe nearest lists and
+    exact-re-ranks only those candidates. The candidate join is an
+    equi-join on the (uniformly sized) list id — at 10^9 vectors the
+    lists shard naturally and only ~n_probe/n_centroids of the corpus
+    is scored per query."""
+    centroids = train_ivf_centroids(emb, n_centroids, lloyd_iters,
+                                    id_col, vec_col, seed)
+    assign = _assign_udf(centroids)
+    e_b = emb.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("v"),
+                     assign(F.col(vec_col)).alias("c"))
+
+    cent = centroids.astype(np.float64)
+    c_norm2 = (cent * cent).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = c_norm2[None, :] - 2.0 * (mat @ cent.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q_b = (queries.withColumn("probes", probe(F.col("qv")))
+           .select("query_id", "qv",
+                   F.explode("probes").alias("c")))
+
+    scored = (e_b.join(q_b, "c")
+              .filter(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", "vec_id",
+                      _cosine(F.col("qv"), F.col("v")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id",
+                    F.col("cos").alias("cosine"), "rn"))

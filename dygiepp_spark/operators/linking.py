@@ -137,3 +137,51 @@ def link_entities(mentions: DataFrame, triples: DataFrame,
     return (nodes.join(comp, nodes.gid == comp.node, "left")
             .select("gid", _NORM, "n_mentions",
                     F.coalesce("component", "gid").alias("entity_id")))
+
+
+def coref_clusters(triples: DataFrame) -> DataFrame:
+    """Document-level coref clusters from the antecedent decode — the
+    `predicted_clusters` surface of the reference Document
+    (SURVEY.md §1.1; ref:dygie/models/coref.py::CorefResolver decode).
+
+    Each doc's link graph is tiny (beam-bounded), so clustering runs
+    as a per-document union-find inside applyInPandas — grouped by
+    url, Arrow-batched, embarrassingly parallel. Cluster ids are
+    deterministic: rank of the cluster's minimum (start, end) span.
+    Output: (url, cluster_id, start, end) — one row per member span.
+    """
+    import pandas as pd
+
+    links = (triples.filter(F.col("kind") == "coref")
+             .select("url", "subj_start", "subj_end",
+                     "obj_start", "obj_end"))
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[tuple[int, int], tuple[int, int]] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pdf.itertuples(index=False):
+            a = (int(r.subj_start), int(r.subj_end))
+            b = (int(r.obj_start), int(r.obj_end))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for n in parent:
+            roots.setdefault(find(n), []).append(n)
+        url = pdf["url"].iloc[0]
+        rows = []
+        for cid, root in enumerate(sorted(roots)):
+            for s, e in sorted(roots[root]):
+                rows.append((url, cid, s, e))
+        return pd.DataFrame(
+            rows, columns=["url", "cluster_id", "start", "end"])
+
+    return links.groupBy("url").applyInPandas(
+        per_doc, "url string, cluster_id int, start int, end int")

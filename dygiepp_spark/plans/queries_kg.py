@@ -65,3 +65,13 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dygiepp_spark.plans.pipeline import build_graph
     _, edges = build_graph(spark, _triples(spark, sf_dir))
     return edges.orderBy("src_entity", "pred", "dst_entity")
+
+
+@register("kg_coref_clusters")
+def kg_coref_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level predicted coref clusters (M10 decode + per-doc
+    union-find; rows-only — cluster semantics tested in
+    tests/test_operators.py)."""
+    from dygiepp_spark.operators.linking import coref_clusters
+    return (coref_clusters(_triples(spark, sf_dir))
+            .orderBy("url", "cluster_id", "start", "end"))

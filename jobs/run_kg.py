@@ -1,0 +1,58 @@
+"""spark-submit entrypoint for the KG construction pipeline.
+
+The north_star submission form:
+
+    spark-submit --py-files dygiepp_spark.zip jobs/run_kg.py \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/kg_out \
+        [--no-resume] [--parallelism 96] [--partitions 8]
+
+On a cluster the session comes from spark-submit's conf (master,
+executors); this script only sets semantics-bearing conf (timezone,
+Arrow) and runs plans/pipeline.run_kg. Local fallback for the sandbox:
+builds a local[*] session when run as a plain python script.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=8)
+    args = ap.parse_args()
+
+    # --py-files puts the zip on sys.path for the driver too; the
+    # repo-root fallback covers plain `python jobs/run_kg.py`.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+
+    from pyspark.sql import SparkSession
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+        from dygiepp_spark.plans.session import tune_session
+        tune_session(spark)
+    else:
+        from dygiepp_spark.plans.session import ensure_pyfiles, get_spark
+        spark = get_spark(app_name="kg-construct")
+        ensure_pyfiles(spark)
+
+    from dygiepp_spark.plans.pipeline import run_kg
+    metrics = run_kg(spark, args.sf_dir, args.out,
+                     resume=not args.no_resume,
+                     parallelism=args.parallelism)
+    print(json.dumps(metrics, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

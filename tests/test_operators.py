@@ -183,3 +183,38 @@ def test_streaming_wrapper_matches_batch(spark, tmp_path):
     batch = extract_triples(
         spark.read.parquet(pages_dir), from_html=True)
     assert got.count() == batch.count()
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    from dygiepp_spark.operators.ann import brute_force_topk, ivf_topk
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")))
+    bf = brute_force_topk(emb, queries, k=5)
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6)
+    bf_set = {(r.query_id, r.vec_id) for r in bf.collect()}
+    iv_set = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    recall = len(bf_set & iv_set) / len(bf_set)
+    assert recall >= 0.3, recall
+    # probing 6/16 of random-gaussian space ~ 37% of candidates;
+    # exact re-rank means returned cosines are exact
+    joined = (ivf.alias("l").join(bf.alias("b"), ["query_id", "vec_id"])
+              .filter(F.abs(F.col("l.cosine") - F.col("b.cosine")) > 1e-9))
+    assert joined.count() == 0
+
+
+def test_coref_clusters_consistent_with_links(spark):
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.operators.linking import coref_clusters
+    from dygiepp_spark.sources.pages import synth_pages
+    triples = extract_triples(
+        synth_pages(spark, "/root/testdata/sf0.001").limit(40),
+        from_html=True)
+    links = triples.filter(F.col("kind") == "coref").collect()
+    clusters = coref_clusters(triples).collect()
+    cl = {}
+    for r in clusters:
+        cl[(r.url, r.start, r.end)] = (r.url, r.cluster_id)
+    for r in links:
+        assert cl[(r.url, r.subj_start, r.subj_end)] == \
+               cl[(r.url, r.obj_start, r.obj_end)], "linked spans split"
