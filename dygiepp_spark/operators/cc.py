@@ -63,6 +63,18 @@ def connected_components(edges: DataFrame,
     e = (edges.select(F.col("src").cast("bigint").alias("src"),
                       F.col("dst").cast("bigint").alias("dst"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+
+    # Local fast path decides on the RAW edge count (an upper bound of
+    # the deduped count) and collects raw pairs — union-find dedups and
+    # symmetrizes implicitly, so the shuffle-heavy distinct/symmetrize
+    # below is skipped entirely for small graphs.
+    n_raw = e.count()
+    if n_raw <= local_solve_max_edges:
+        spark = edges.sparkSession
+        pairs = [(r.src, r.dst) for r in e.collect()]
+        return spark.createDataFrame(_local_union_find(pairs),
+                                     "node bigint, component bigint")
+
     # symmetrize once; dedup to keep the per-iteration join small
     sym = (e.select("src", "dst")
             .unionByName(e.select(F.col("dst").alias("src"),
@@ -75,11 +87,6 @@ def connected_components(edges: DataFrame,
     # tasks per iteration in pure scheduler overhead. At real scale
     # n_parts grows with the edge count.
     n_edges = sym.count()
-    if n_edges <= local_solve_max_edges:
-        spark = edges.sparkSession
-        pairs = [(r.src, r.dst) for r in sym.collect()]
-        return spark.createDataFrame(_local_union_find(pairs),
-                                     "node bigint, component bigint")
     n_parts = max(1, min(int(n_edges // 500_000) + 1, 2048))
     sym = sym.repartition(n_parts, "dst").localCheckpoint(eager=True)
 

@@ -475,3 +475,67 @@ def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("component").cast("bigint")
                         .alias("component"))
             .orderBy("doc_id"))
+
+
+# ------------------------------------------------------- BPE-ish tokens
+@register("q_token_pieces", sql=r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_pieces,
+       ROUND(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\s]')) * 1.0 /
+            len(string_split_regex(trim(text), '\s+')), 4)
+           AS pieces_per_word
+FROM documents ORDER BY doc_id
+""")
+def q_token_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish piece counting: alpha-runs / digit-runs / single
+    punctuation as separate pieces (the sub-word tokenizer regex
+    family) alongside whitespace word counts — both JVM-side."""
+    piece_re = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    n_words = F.size(_toks())
+    n_pieces = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                           F.lit(piece_re), F.lit(0)))
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    n_words.cast("int").alias("n_words"),
+                    n_pieces.cast("int").alias("n_pieces"),
+                    F.round(n_pieces * F.lit(1.0) / n_words, 4)
+                    .alias("pieces_per_word"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------------- rolling-hash FP
+@register("q_winnow_fingerprints", sql="""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+sh AS (SELECT doc_id, (i - 1) // 16 AS win,
+              md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS h
+       FROM toks,
+            UNNEST(generate_series(1, len(t) - 2)) AS g(i))
+SELECT doc_id, CAST(win AS INT) AS win, MIN(h) AS fingerprint
+FROM sh GROUP BY doc_id, win ORDER BY doc_id, win
+""")
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints: hash every 3-gram
+    shingle, keep the MIN hash per 16-token window — the classic
+    local-fingerprint scheme (near-dup docs share most window minima).
+    Portable: md5-hex minima, fixed windows."""
+    tk = _toks()
+    sh = F.when(
+        F.size(tk) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 3),
+            lambda i: F.struct(
+                F.floor(i / 16).cast("int").alias("win"),
+                F.md5(F.concat(
+                    F.element_at(tk, i + 1), F.lit(" "),
+                    F.element_at(tk, i + 2), F.lit(" "),
+                    F.element_at(tk, i + 3))).alias("h")),
+        )).otherwise(F.array().cast("array<struct<win:int,h:string>>"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.explode(sh).alias("s"))
+            .groupBy("doc_id", F.col("s.win").alias("win"))
+            .agg(F.min("s.h").alias("fingerprint"))
+            .orderBy("doc_id", "win"))
