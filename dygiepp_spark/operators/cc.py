@@ -62,7 +62,11 @@ def connected_components(edges: DataFrame,
     paths produce identical output (tested against each other)."""
     e = (edges.select(F.col("src").cast("bigint").alias("src"),
                       F.col("dst").cast("bigint").alias("dst"))
-         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         # materialize once: the edge list is consumed by at least two
+         # actions (size probe + solve); without this the upstream DAG
+         # (LSH blocking over all mentions) recomputes per action.
+         .localCheckpoint(eager=True))
 
     # Local fast path decides on the RAW edge count (an upper bound of
     # the deduped count) and collects raw pairs — union-find dedups and

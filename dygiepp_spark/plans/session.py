@@ -83,8 +83,12 @@ def get_spark(app_name: str = "dygiepp_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(C.ARROW_DOCS_PER_BATCH))
+        # local mode: the driver JVM IS the executor; size it for the
+        # machine (localCheckpoint blocks + shuffle + Arrow buffers all
+        # live here — an undersized heap turns into GC thrash that
+        # shows up as mysterious 5x slowdowns mid-benchmark).
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
