@@ -1,0 +1,104 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+Two implementations with identical semantics (tested equal):
+
+- `asof_join`: composition of built-ins (pyspark_guide "Common OLAP
+  patterns"): bounded equi+theta join on the partition key, then
+  rank-1 window with a deterministic tie-break. Stays fully JVM-side;
+  the tolerance bound keeps the intermediate join linear-ish instead
+  of per-key quadratic — at web scale, ALWAYS pass a tolerance.
+- `asof_join_pandas`: per-group `pd.merge_asof` via applyInPandas —
+  the Arrow path for when the per-key history is long and sorted merge
+  beats the join+rank (classic for market-data-style workloads).
+
+Semantics: for each left row, the single right row with the largest
+`right_ts <= left_ts` (strict=False) or `< left_ts` (strict=True),
+within `tolerance_sec`, matching on `on`. Ties on right_ts broken by
+the largest `right_id`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_id: str = "event_id",
+              tolerance_sec: int | None = 3600,
+              strict: bool = True) -> DataFrame:
+    """Built-in composition. Output: all left columns + matched right
+    columns prefixed `r_` (unmatched lefts dropped — inner as-of)."""
+    l = left.alias("l")
+    r = right.alias("r")
+    lts = F.col(f"l.{left_ts}")
+    rts = F.col(f"r.{right_ts}")
+    cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & \
+           ((rts < lts) if strict else (rts <= lts))
+    if tolerance_sec is not None:
+        cond = cond & (rts >= lts - F.expr(
+            f"INTERVAL {tolerance_sec} SECOND"))
+    joined = l.join(r, cond)
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]) \
+        .orderBy(rts.desc(), F.col(f"r.{right_id}").desc())
+    out_cols = [F.col(f"l.{c}").alias(c) for c in left.columns] + \
+               [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
+    return (joined.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(*out_cols))
+
+
+def asof_join_pandas(left: DataFrame, right: DataFrame, on: str,
+                     left_ts: str = "ts", right_ts: str = "ts",
+                     right_id: str = "event_id",
+                     tolerance_sec: int | None = 3600,
+                     strict: bool = True) -> DataFrame:
+    """merge_asof path: cogroup both sides by key, sorted merge per
+    group in Arrow batches."""
+    l_cols = left.columns
+    r_cols = right.columns
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in left.schema.fields] +
+        [f"r_{f.name} {f.dataType.simpleString()}"
+         for f in right.schema.fields])
+
+    # Rename the right side before cogrouping: when both sides derive
+    # from the same scan, Spark's attribute deduplication prunes the
+    # right child down to the grouping key (shared expression ids);
+    # distinct names force fresh attributes and keep all columns.
+    right_rn = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in r_cols])
+
+    tol = pd.Timedelta(seconds=tolerance_sec) \
+        if tolerance_sec is not None else None
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        rpdf = rpdf.rename(
+            columns={f"__r_{c}": c for c in r_cols})
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=l_cols + [f"r_{c}" for c in r_cols])
+        # deterministic tie-break: keep the max right_id per right_ts
+        rpdf = (rpdf.sort_values([right_ts, right_id])
+                .groupby(right_ts, as_index=False).last()
+                if len(rpdf) else rpdf)
+        lpdf = lpdf.sort_values(left_ts)
+        rpdf = rpdf.sort_values(right_ts) if len(rpdf) else rpdf
+        merged = pd.merge_asof(
+            lpdf, rpdf.rename(columns={c: f"r_{c}" for c in r_cols}),
+            left_on=left_ts, right_on=f"r_{right_ts}",
+            tolerance=tol, allow_exact_matches=not strict,
+            direction="backward")
+        merged = merged.dropna(subset=[f"r_{right_id}"])
+        # merge_asof upcasts int columns to float when NaNs appear;
+        # restore the right side's original dtypes post-filter
+        for c in r_cols:
+            dt = rpdf[c].dtype if c in rpdf else None
+            if dt is not None and str(dt).startswith("int"):
+                merged[f"r_{c}"] = merged[f"r_{c}"].astype(dt)
+        return merged[l_cols + [f"r_{c}" for c in r_cols]]
+
+    return (left.groupBy(on).cogroup(right_rn.groupBy(f"__r_{on}"))
+            .applyInPandas(merge, out_schema))

@@ -349,3 +349,33 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("gap_sec").cast("bigint").alias("min_gap"),
                  F.max("gap_sec").cast("bigint").alias("max_gap"))
             .orderBy("user_id"))
+
+
+# -------------------------------------------------------------- as-of join
+@register("q_asof_prior_login", sql="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+s AS (SELECT * FROM events WHERE event_type = 'signup'),
+m AS (SELECT p.event_id AS purchase_id, p.user_id,
+             MAX(s.ts) AS mts
+      FROM p JOIN s ON p.user_id = s.user_id
+                   AND s.ts < p.ts
+                   AND s.ts >= p.ts - INTERVAL 2 HOUR
+      GROUP BY p.event_id, p.user_id)
+SELECT m.purchase_id,
+       CAST(MAX(s2.event_id) AS BIGINT) AS signup_id
+FROM m JOIN s s2 ON s2.user_id = m.user_id AND s2.ts = m.mts
+GROUP BY m.purchase_id ORDER BY m.purchase_id
+""")
+def q_asof_prior_login(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3-family as-of join (operators/asof.py): for each purchase,
+    the most recent signup of the same user within 2h (strict,
+    max-event_id tie-break)."""
+    from dygiepp_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    s = ev.filter(F.col("event_type") == "signup")
+    out = asof_join(p, s, on="user_id", tolerance_sec=7200, strict=True)
+    return (out.select(F.col("event_id").alias("purchase_id"),
+                       F.col("r_event_id").cast("bigint")
+                       .alias("signup_id"))
+            .orderBy("purchase_id"))

@@ -218,3 +218,18 @@ def test_coref_clusters_consistent_with_links(spark):
     for r in links:
         assert cl[(r.url, r.subj_start, r.subj_end)] == \
                cl[(r.url, r.obj_start, r.obj_end)], "linked spans split"
+
+
+def test_asof_join_paths_agree(spark):
+    """Built-in composition vs merge_asof cogroup path: identical
+    output on real events data."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase")
+    s = ev.filter(F.col("event_type") == "signup")
+    from dygiepp_spark.operators.asof import asof_join, asof_join_pandas
+    a = asof_join(p, s, on="user_id", tolerance_sec=7200)
+    b = asof_join_pandas(p, s, on="user_id", tolerance_sec=7200)
+    key = ["event_id", "r_event_id"]
+    ra = sorted(map(tuple, a.select(*key).collect()))
+    rb = sorted(map(tuple, b.select(*key).collect()))
+    assert ra == rb and len(ra) > 0
