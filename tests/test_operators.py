@@ -233,3 +233,24 @@ def test_asof_join_paths_agree(spark):
     ra = sorted(map(tuple, a.select(*key).collect()))
     rb = sorted(map(tuple, b.select(*key).collect()))
     assert ra == rb and len(ra) > 0
+
+
+def test_clean_corpus_pipeline(spark, docs):
+    from dygiepp_spark.operators.corpus_pipeline import clean_corpus
+    # plant 10 exact duplicates with fresh ids
+    planted = docs.limit(10).withColumn(
+        "doc_id", F.col("doc_id") + 100000)
+    with_dups = docs.unionByName(planted)
+    clean, stats = clean_corpus(with_dups, min_tokens=8,
+                                langs=("en", "de", "es", "fr", "zh"))
+    assert stats["n_input"] == 510
+    assert stats["n_after_quality"] <= stats["n_input"]
+    # planted exact dups must be gone (their originals survive)
+    assert stats["removed_exact"] >= 10
+    assert clean.select("text").distinct().count() == clean.count()
+    # keepers are the min ids: no planted id survives
+    assert clean.filter(F.col("doc_id") >= 100000).count() == 0
+    # monotone funnel
+    assert (stats["n_input"] >= stats["n_after_quality"]
+            >= stats["n_after_exact_dedup"]
+            >= stats["n_after_near_dedup"])
