@@ -539,3 +539,79 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id", F.col("s.win").alias("win"))
             .agg(F.min("s.h").alias("fingerprint"))
             .orderBy("doc_id", "win"))
+
+
+# ------------------------------------------------- embedding near-dup
+@register("q_embedding_near_dups", sql="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) *
+       sqrt(list_dot_product(b.v, b.v))) >= 0.25
+ORDER BY id1, id2
+""")
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (operators/dedup.py::
+    embedding_near_dups). Threshold 0.25 (the driver corpus is random
+    gaussian — true near-dup thresholds like 0.95 are exercised in the
+    operator API; this query pins the pair math cross-engine)."""
+    from dygiepp_spark.operators.dedup import embedding_near_dups
+    return (embedding_near_dups(_emb(spark, sf_dir), threshold=0.25)
+            .select(F.col("id1").cast("bigint").alias("id1"),
+                    F.col("id2").cast("bigint").alias("id2"),
+                    F.round("cosine", 4).alias("cosine"))
+            .orderBy("id1", "id2"))
+
+
+# ------------------------------------------------- ANN scale paths
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: hyperplane buckets are not
+    SQL-expressible; recall vs brute force asserted in
+    tests/test_operators.py)."""
+    from dygiepp_spark.operators.ann import lsh_topk
+    e = _emb(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")))
+    return (lsh_topk(e, q, k=5)
+            .select("query_id", "vec_id",
+                    F.round("cosine", 4).alias("cosine"), "rn")
+            .orderBy("query_id", "rn"))
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only; recall vs brute force asserted in tests)."""
+    from dygiepp_spark.operators.ann import ivf_topk
+    e = _emb(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")))
+    return (ivf_topk(e, q, k=5, n_centroids=16, n_probe=4)
+            .select("query_id", "vec_id",
+                    F.round("cosine", 4).alias("cosine"), "rn")
+            .orderBy("query_id", "rn"))
+
+
+# ------------------------------------------------- multimodal plumbing
+@register("media_features")
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing (rows-only): synthetic
+    binary media -> Arrow-batched feature extraction with the stubbed
+    codec seam (operators/multimodal.py). Deterministic output."""
+    from dygiepp_spark.operators.multimodal import (extract_media_features,
+                                                    synth_media)
+    media = synth_media(spark, 128)
+    return (extract_media_features(media)
+            .select("media_id", "kind", "feat_dim", "decode_status",
+                    F.round(F.aggregate(
+                        "features", F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double")), 4)
+                    .alias("feat_sum"))
+            .orderBy("media_id"))
