@@ -6,13 +6,17 @@ shuffle (join + min-agg), `localCheckpoint()` truncates lineage so the
 plan doesn't grow, and the loop exits on convergence (0 label changes)
 or `CC_MAX_ITERS`.
 
-Convergence: labels start as node ids and monotonically decrease to
-the component minimum; iterations needed = graph diameter. Entity-
-linking graphs here are star-ish (exact-text groups + LSH pair edges),
-so diameter is small. At 10^12-node scale the same loop upgrades to
-large-star/small-star (Kiveris et al., "Connected Components in
-MapReduce and Beyond") which contracts paths doubly-exponentially; the
-seam is this one function.
+Two paths, identical output (tested against each other and a
+reference union-find):
+
+- small graphs (<= `local_solve_max_edges` raw edges): driver-side
+  union-find — bounded memory, strictly faster than any shuffle
+  round-trip;
+- large graphs: alternating large-star / small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14 — the GraphFrames-style algorithm), two shuffle passes per
+  round, converging in O(log n) rounds independent of graph diameter
+  (plain label propagation needs diameter rounds).
 """
 
 from __future__ import annotations
@@ -79,55 +83,83 @@ def connected_components(edges: DataFrame,
         return spark.createDataFrame(_local_union_find(pairs),
                                      "node bigint, component bigint")
 
-    # symmetrize once; dedup to keep the per-iteration join small
-    sym = (e.select("src", "dst")
-            .unionByName(e.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst")))
-            .distinct()
-            .localCheckpoint(eager=True))
+    return _star_contraction(e, max_iters)
 
-    # size the loop's partitioning to the graph, not to the session
-    # default — a small graph on 32 shuffle partitions pays ~32 empty
-    # tasks per iteration in pure scheduler overhead. At real scale
-    # n_parts grows with the edge count.
-    n_edges = sym.count()
+
+def _star_contraction(e: DataFrame, max_rounds: int) -> DataFrame:
+    """Distributed CC via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14 — public algorithm). Each round is two
+    (groupBy-min + join) passes; the edge set converges to disjoint
+    stars whose centers are the component minima in O(log n) rounds —
+    independent of graph diameter, unlike plain label propagation.
+
+    large-star(u): link every neighbor v > u to m = min(N(u) ∪ {u})
+    small-star(u): operate on edges oriented v ≤ u; link every such
+                   neighbor (and u) to m.
+    """
+    spark = e.sparkSession
+    # node inventory up front (contraction loses isolated self-loops)
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+
+    edges = (e.filter(F.col("src") != F.col("dst"))
+             .select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+             .distinct())
+
+    n_edges = edges.count()
     n_parts = max(1, min(int(n_edges // 500_000) + 1, 2048))
-    sym = sym.repartition(n_parts, "dst").localCheckpoint(eager=True)
+    edges = edges.repartition(n_parts, "a").localCheckpoint(eager=True)
 
-    labels = (sym.select(F.col("src").alias("node"))
-              .distinct()
-              .withColumn("component", F.col("node"))
-              .repartition(n_parts, "node"))
+    def _min_star(df: DataFrame, center: str, nbr: str,
+                  keep_gt: bool) -> DataFrame:
+        """One star phase. df has undirected pairs (a<=b as (a,b));
+        center/nbr select the orientation. Emits (neighbor, m)."""
+        # neighborhood view: center u with neighbors v (both directions)
+        nbrs = (df.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .unionByName(df.select(F.col("b").alias("u"),
+                                       F.col("a").alias("v"))))
+        mins = (nbrs.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        j = nbrs.join(mins, "u")
+        if keep_gt:     # large-star: relink neighbors larger than u
+            j = j.filter(F.col("v") > F.col("u"))
+            out = j.select(F.col("v").alias("x"), F.col("m").alias("y"))
+        else:           # small-star: relink neighbors <= u, plus u
+            smaller = (j.filter(F.col("v") <= F.col("u"))
+                       .select(F.col("v").alias("x"),
+                               F.col("m").alias("y")))
+            self_link = mins.select(F.col("u").alias("x"),
+                                    F.col("m").alias("y"))
+            out = smaller.unionByName(self_link)
+        return (out.filter(F.col("x") != F.col("y"))
+                .select(F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"))
+                .distinct())
 
-    for _ in range(max_iters):
-        # candidate label for each node: min over neighbors' labels
-        nbr_min = (sym.join(labels,
-                            sym.dst == labels.node, "inner")
-                   .groupBy(sym.src.alias("node"))
-                   .agg(F.min("component").alias("nbr_component")))
-        new_labels = (labels.join(nbr_min, "node", "left")
-                      .select("node",
-                              F.least("component",
-                                      F.coalesce("nbr_component",
-                                                 "component"))
-                              .alias("component")))
-        # pointer-jump: component <- label(component). Contracts chains
-        # doubly fast (the large-star idea), so rounds ~ log2(diameter).
-        jump = new_labels.select(F.col("node").alias("jnode"),
-                                 F.col("component").alias("jcomp"))
-        new_labels = (new_labels
-                      .join(jump, new_labels.component == jump.jnode,
-                            "left")
-                      .select("node",
-                              F.least("component",
-                                      F.coalesce("jcomp", "component"))
-                              .alias("component")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") < F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+    for _ in range(max_rounds):
+        after_large = _min_star(edges, "a", "b", keep_gt=True)
+        after_small = _min_star(after_large, "a", "b", keep_gt=False)
+        after_small = (after_small.repartition(n_parts, "a")
+                       .localCheckpoint(eager=True))
+        # converged when the canonical edge set is unchanged
+        delta = (after_small.unionByName(edges)
+                 .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+                 .filter(F.col("c") == 1).limit(1).count())
+        edges = after_small
+        if delta == 0:
             break
-    return labels
+
+    # stars: every edge (a,b) with a = component min of b
+    membership = (edges.select(F.col("b").alias("node"),
+                               F.col("a").alias("component")))
+    # nodes may appear with several stars mid-convergence; take min
+    labels = (membership.groupBy("node")
+              .agg(F.min("component").alias("component")))
+    return (nodes.join(labels, "node", "left")
+            .select("node",
+                    F.coalesce("component", F.col("node"))
+                    .alias("component")))

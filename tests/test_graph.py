@@ -164,3 +164,31 @@ def test_kg_end_to_end(spark, out_dir):
     edges = spark.read.parquet(f"{out_dir}/edges")
     assert edges.filter("src_entity is null or dst_entity is null"
                         ).count() == 0
+
+
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=30))
+@settings(max_examples=5, deadline=None)
+def test_star_contraction_random_graphs(spark, edges):
+    """Distributed large-star/small-star path vs reference union-find
+    on hypothesis-generated graphs (chains, cliques, self-loops).
+    (hypothesis + function-scoped fixture is fine here: the spark
+    fixture is session-scoped and stateless across examples)."""
+    from dygiepp_spark.operators.cc import connected_components
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.component
+           for r in connected_components(
+               df, local_solve_max_edges=0).collect()}
+    assert got == _union_find(edges)
+
+
+def test_star_contraction_long_chain(spark):
+    """A 64-node chain: diameter 63, but star contraction must finish
+    within CC_MAX_ITERS (log-round convergence)."""
+    from dygiepp_spark.operators.cc import connected_components
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    got = {r.node: r.component
+           for r in connected_components(
+               df, local_solve_max_edges=0).collect()}
+    assert got == {i: 0 for i in range(64)}
