@@ -77,10 +77,10 @@ def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
     triples = triples.observe(
         obs, F.count(F.lit(1)).alias("n_triples"),
         F.approx_count_distinct("url").alias("n_docs_approx"))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (triples.write.mode("overwrite")
-     .partitionBy("partition_id")
-     .parquet(os.path.join(out_dir, "triples")))
+    from dygiepp_spark.sources.catalog import write_table
+    write_table(triples, os.path.join(out_dir, "triples"),
+                partition_by=["partition_id"],
+                mode="overwrite_partitions")
     elapsed = time.time() - t0
     observed = obs.get
 
@@ -101,8 +101,9 @@ def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
          float(docs_per_sec), "done", run_id)
         for r in stats
     ]
-    (spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
-     .coalesce(1).write.mode("append").parquet(_lineage_path(out_dir)))
+    from dygiepp_spark.sources.catalog import write_table as _wt
+    _wt(spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1),
+        _lineage_path(out_dir), mode="append")
 
     n_triples = sum(r.n_triples for r in stats)
     return {"run_id": run_id, "n_docs": n_docs, "n_triples": n_triples,
@@ -181,8 +182,9 @@ def run_kg(spark: SparkSession, sf_dir: str, out_dir: str,
                              parallelism=parallelism)
     triples = spark.read.parquet(os.path.join(out_dir, "triples"))
     nodes, edges = build_graph(spark, triples)
-    nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
-    edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+    from dygiepp_spark.sources.catalog import write_table
+    write_table(nodes, os.path.join(out_dir, "nodes"))
+    write_table(edges, os.path.join(out_dir, "edges"))
     metrics["n_nodes"] = spark.read.parquet(
         os.path.join(out_dir, "nodes")).count()
     metrics["n_edges"] = spark.read.parquet(
