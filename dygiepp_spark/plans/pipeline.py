@@ -137,19 +137,28 @@ def build_graph(spark: SparkSession, triples: DataFrame
                       F.sum("n_mentions").cast("bigint")
                       .alias("n_mentions")))
     # members: up to 20 concrete mention occurrences (url, start, end)
-    # per entity — FIXTURES.md §3 provenance contract. Capped BEFORE
-    # collect so no entity ever aggregates an unbounded member list.
+    # per entity — FIXTURES.md §3 provenance contract. Two-phase salted
+    # top-k: a hot entity (boilerplate mention across the whole crawl)
+    # would make a row_number window sort its entire occurrence list in
+    # one task; instead each (entity, salt) shard keeps its sorted
+    # first 20, then shards merge — bounded memory, skew spread, same
+    # deterministic result (global min-20 by (url, start, end)).
     m_ent = (mentions
              .withColumn("gid",
                          F.xxhash64(F.lower(F.trim(F.col("mention")))))
              .join(linked.select("gid", "entity_id"), "gid")
              .select("entity_id", "url", "start", "end"))
-    wm = Window.partitionBy("entity_id").orderBy("url", "start", "end")
-    members = (m_ent.withColumn("mrk", F.row_number().over(wm))
-               .filter(F.col("mrk") <= 20)
-               .groupBy("entity_id")
-               .agg(F.array_sort(F.collect_list(
-                   F.struct("url", "start", "end"))).alias("members")))
+    part20 = (m_ent
+              .withColumn("_salt",
+                          F.pmod(F.xxhash64("url", "start"), F.lit(64)))
+              .groupBy("entity_id", "_salt")
+              .agg(F.slice(F.array_sort(F.collect_list(
+                  F.struct("url", "start", "end"))), 1, 20)
+                  .alias("part")))
+    members = (part20.groupBy("entity_id")
+               .agg(F.slice(F.array_sort(
+                   F.flatten(F.collect_list("part"))), 1, 20)
+                   .alias("members")))
     nodes = node_core.join(members, "entity_id", "left")
 
     gid2ent = linked.select("gid", "entity_id")
