@@ -142,7 +142,7 @@ def run_default() -> dict:
 
     spark.stop()
     total = round(sum(queries.values()), 3)
-    return {
+    out = {
         "metric": "kg_pipeline_and_operator_suite_sec",
         "value": total,
         "unit": "sec",
@@ -156,6 +156,20 @@ def run_default() -> dict:
         "docs_per_sec": ext["docs_per_sec"],
         "triples_per_sec": ext["triples_per_sec"],
     }
+    # surface the recorded N->4N evidence (see --scaling and
+    # scripts/scaling_submit.sh) alongside the suite timings
+    for fname, key in (("BENCH_SCALING.json",
+                        "scaling_efficiency_N_to_4N"),
+                       ("BENCH_SUBMIT_SCALING.json",
+                        "spark_submit_scaling_efficiency_N_to_4N")):
+        path = os.path.join(REPO, fname)
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    out[key] = json.load(f)["value"]
+            except Exception:
+                pass
+    return out
 
 
 def run_scaling() -> dict:

@@ -78,10 +78,17 @@ def connected_components(edges: DataFrame,
     # below is skipped entirely for small graphs.
     n_raw = e.count()
     if n_raw <= local_solve_max_edges:
+        import pandas as pd
         spark = edges.sparkSession
-        pairs = [(r.src, r.dst) for r in e.collect()]
-        return spark.createDataFrame(_local_union_find(pairs),
-                                     "node bigint, component bigint")
+        # toPandas/createDataFrame(pandas) ride Arrow — an order of
+        # magnitude cheaper than row-wise pickling at this size
+        epdf = e.toPandas()
+        pairs = list(zip(epdf["src"].astype("int64"),
+                         epdf["dst"].astype("int64")))
+        solved = _local_union_find(pairs)
+        out = pd.DataFrame(solved, columns=["node", "component"],
+                           dtype="int64")
+        return spark.createDataFrame(out)
 
     return _star_contraction(e, max_iters)
 
