@@ -63,11 +63,19 @@ def _decode_batches(batches: Iterator[pd.DataFrame],
 
 
 def extract_triples(pages: DataFrame, from_html: bool = True,
-                    with_partition: bool = False) -> DataFrame:
+                    with_partition: bool = False,
+                    length_bucketed: bool = False) -> DataFrame:
     """pages -> triples. `from_html=True` runs the full X1 path
     (html -> byte-identical text -> decode); `False` short-circuits to
     the `text` column (identical output by the [BASELINE] invariant,
-    golden-tested)."""
+    golden-tested).
+
+    `length_bucketed` applies the W4 physical optimization (SURVEY.md
+    §2.5): sortWithinPartitions by document length before the UDF, so
+    Arrow batches hold similarly-sized documents (evens out per-batch
+    decode time; the reference's bucket-sampler analog). Semantics-free
+    — decode output is per-document and tested invariant."""
+    from pyspark.sql import functions as F
     in_cols = ["url", "html" if from_html else "text"]
     if with_partition:
         in_cols.append("partition_id")
@@ -76,7 +84,11 @@ def extract_triples(pages: DataFrame, from_html: bool = True,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _decode_batches(batches, from_html, with_partition)
 
-    return pages.select(*in_cols).mapInPandas(fn, schema)
+    selected = pages.select(*in_cols)
+    if length_bucketed:
+        selected = selected.sortWithinPartitions(
+            F.length(in_cols[1]).asc())
+    return selected.mapInPandas(fn, schema)
 
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:

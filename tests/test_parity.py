@@ -65,3 +65,19 @@ def test_html_path_equals_text_path(spark):
     pd.testing.assert_frame_equal(
         via_html.sort_values(key).reset_index(drop=True),
         via_text.sort_values(key).reset_index(drop=True))
+
+
+def test_length_bucketed_batching_invariant(spark):
+    """W4 (SURVEY §2.5): length-bucketed batching is a physical
+    optimization only — decode output identical."""
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, "/root/testdata/sf0.001").limit(80)
+    a = extract_triples(pages, from_html=True).toPandas()
+    b = extract_triples(pages, from_html=True,
+                        length_bucketed=True).toPandas()
+    key = ["url", "kind", "subj", "pred", "obj", "subj_start",
+           "subj_end", "obj_start", "obj_end", "sent_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
