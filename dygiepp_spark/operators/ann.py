@@ -9,7 +9,7 @@ Two tiers, same output contract (query_id, vec_id, cosine, rn):
 - `lsh_topk`: the scale path — random-hyperplane LSH buckets both
   sides; candidates share a bucket in >= 1 of `n_tables` tables, then
   exact re-rank. Recall < 1 by construction; measured vs brute force
-  in tests (tests/test_ann_dedup.py).
+  in tests (tests/test_operators.py).
 
 Hyperplanes are derived deterministically from a seed so executors
 regenerate them instead of shipping matrices.

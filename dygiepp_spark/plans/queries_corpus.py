@@ -458,9 +458,10 @@ FROM reach GROUP BY u ORDER BY doc_id
 def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH near-dup candidate graph —
     the canonicalization operator (SURVEY.md §4.3) with a genuine SQL
-    oracle: Spark runs the bounded min-label-propagation loop
-    (operators/cc.py), DuckDB computes the transitive closure with a
-    recursive CTE. Output restricted to nodes with ≥1 edge."""
+    oracle: Spark runs the scale-adaptive CC operator
+    (operators/cc.py — union-find / star contraction), DuckDB computes
+    the transitive closure with a recursive CTE. Output restricted to
+    nodes with ≥1 edge."""
     from dygiepp_spark.operators.cc import connected_components
     bands = _bands_df(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
