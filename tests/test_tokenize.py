@@ -59,3 +59,30 @@ def test_sentence_chunking():
 def test_doc_to_sentences_empty():
     assert doc_to_sentences("") == []
     assert doc_to_sentences("   ") == []
+
+
+def test_registered_sql_functions(spark):
+    """The engine's SQL function surface: kernel rules callable from
+    Spark SQL, consistent with the oracle-twinned JVM expressions."""
+    from dygiepp_spark.functions import register_all
+    register_all(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(100).createOrReplaceTempView("d100")
+    rows = spark.sql("""
+        SELECT doc_id,
+               kg_token_count(text) AS n_tok,
+               size(split(trim(text), '\\\\s+')) AS n_tok_jvm,
+               kg_span_count(text) AS n_spans,
+               kg_extract_text(encode(concat('<p>', text, '</p>'),
+                               'UTF-8')) AS rt
+        FROM d100
+    """).collect()
+    from dygiepp_spark.kernel.spans import span_count_chunked
+    for r in rows:
+        assert r.n_tok == r.n_tok_jvm
+        assert r.n_spans == span_count_chunked(r.n_tok)
+    # byte-identical roundtrip through the SQL-registered X1
+    texts = {r.doc_id: r.rt for r in rows}
+    orig = {r.doc_id: r.text
+            for r in docs.limit(100).select("doc_id", "text").collect()}
+    assert texts == orig
