@@ -35,10 +35,27 @@ _COLS = ["url", "kind", "subj", "pred", "obj", "subj_start", "subj_end",
          "obj_start", "obj_end", "sent_id", "score"]
 
 
+class _PartitionTimingParam:
+    """AccumulatorParam merging {partition_id: (n_docs, secs)} —
+    the A5 per-WARC-partition docs/sec metric, measured where the work
+    happens (inside the decode UDF) instead of inferred globally."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, (n, s) in b.items():
+            n0, s0 = a.get(k, (0, 0.0))
+            a[k] = (n0 + n, s0 + s)
+        return a
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame],
                     from_html: bool,
-                    with_partition: bool) -> Iterator[pd.DataFrame]:
+                    with_partition: bool,
+                    timing_acc=None) -> Iterator[pd.DataFrame]:
     # imports inside the UDF: executed on the executor python worker
+    import time as _time
     from dygiepp_spark.kernel.model import triples_rows
     from dygiepp_spark.kernel.tokenize import extract_text
     from dygiepp_spark.kernel.weights import get_weights
@@ -47,18 +64,25 @@ def _decode_batches(batches: Iterator[pd.DataFrame],
     cols = _COLS + (["partition_id"] if with_partition else [])
     for pdf in batches:
         rows: list[tuple] = []
+        timing: dict[int, tuple[int, float]] = {}
         if from_html:
             texts = [extract_text(h) for h in pdf["html"]]
         else:
             texts = [t if t is not None else "" for t in pdf["text"]]
         pids = pdf["partition_id"] if with_partition else None
         for i, (url, text) in enumerate(zip(pdf["url"], texts)):
+            t0 = _time.perf_counter()
             doc_rows = triples_rows(url, text, w)
+            dt = _time.perf_counter() - t0
             if with_partition:
                 pid = int(pids.iloc[i])
                 rows.extend(r + (pid,) for r in doc_rows)
+                n0, s0 = timing.get(pid, (0, 0.0))
+                timing[pid] = (n0 + 1, s0 + dt)
             else:
                 rows.extend(doc_rows)
+        if timing_acc is not None and timing:
+            timing_acc.add(timing)
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -89,6 +113,24 @@ def extract_triples(pages: DataFrame, from_html: bool = True,
         selected = selected.sortWithinPartitions(
             F.length(in_cols[1]).asc())
     return selected.mapInPandas(fn, schema)
+
+
+def extract_triples_with_metrics(pages: DataFrame,
+                                 from_html: bool = True):
+    """Like extract_triples(with_partition=True) but also returns a
+    per-partition timing accumulator: after an action on the returned
+    DataFrame, `acc.value` is {partition_id: (n_docs, decode_secs)} —
+    measured inside the UDF, the honest A5 docs/sec per WARC partition.
+    Returns (triples_df, accumulator)."""
+    spark = pages.sparkSession
+    acc = spark.sparkContext.accumulator({}, _PartitionTimingParam())
+    in_cols = ["url", "html" if from_html else "text", "partition_id"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _decode_batches(batches, from_html, True, timing_acc=acc)
+
+    return (pages.select(*in_cols)
+            .mapInPandas(fn, TRIPLE_SCHEMA_PART), acc)
 
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:

@@ -69,7 +69,9 @@ def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
                 "elapsed_sec": 0.0, "partitions": []}
 
     t0 = time.time()
-    triples = extract_triples(pages, from_html=True, with_partition=True)
+    from dygiepp_spark.operators.extract import extract_triples_with_metrics
+    triples, timing_acc = extract_triples_with_metrics(pages,
+                                                       from_html=True)
     # A5: observe() rides the write action — global metrics with no
     # second pass over the data (SURVEY.md §2.4 A5).
     from pyspark.sql import Observation
@@ -96,9 +98,15 @@ def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
                      .alias("n_triples"))
              .collect())
     docs_per_sec = n_docs / elapsed if elapsed > 0 else 0.0
+    # per-partition decode rate measured INSIDE the UDF (accumulator);
+    # falls back to the run-level rate for partitions with no sample
+    per_part = timing_acc.value or {}
+    def _rate(pid: int) -> float:
+        n, s = per_part.get(pid, (0, 0.0))
+        return (n / s) if s > 0 else docs_per_sec
     lineage_rows = [
         (int(r.partition_id), int(r.n_docs), int(r.n_triples),
-         float(docs_per_sec), "done", run_id)
+         float(_rate(int(r.partition_id))), "done", run_id)
         for r in stats
     ]
     from dygiepp_spark.sources.catalog import write_table as _wt
