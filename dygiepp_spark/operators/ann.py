@@ -78,10 +78,13 @@ def _bucket_udf(dim: int, n_tables: int, bits: int, seed: int):
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_tables: int = 8, bits: int = 6,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH-blocked top-k. Candidate set = union of
-    same-bucket vectors over n_tables tables; exact cosine re-rank."""
-    dim = len(emb.select(vec_col).first()[0])
+    same-bucket vectors over n_tables tables; exact cosine re-rank.
+    Pass `dim` explicitly at scale — the fallback is a driver action
+    (first-row peek), fine only interactively."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     bucket_of = _bucket_udf(dim, n_tables, bits, seed)
 
     e_b = (emb.withColumn("buckets", bucket_of(F.col(vec_col)))

@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 
 from dygiepp_spark.operators.cc import connected_components
 from dygiepp_spark.operators.dedup import (dedup_exact,
-                                           minhash_lsh_candidates,
-                                           ngram_jaccard_pairs)
+                                           jaccard_verify_candidates,
+                                           minhash_lsh_candidates)
 
 
 def clean_corpus(docs: DataFrame,
@@ -56,13 +56,14 @@ def clean_corpus(docs: DataFrame,
         .localCheckpoint(eager=True)
     n2 = exact.count()
 
-    # near-dup removal: LSH candidates -> exact Jaccard verify ->
-    # connected components over verified pairs -> keep min id
+    # near-dup removal: LSH candidates -> exact Jaccard verify ON THE
+    # CANDIDATES ONLY (blocking-then-verify; verifying the full
+    # shared-shingle self-join first would be the quadratic blowup
+    # LSH exists to avoid) -> connected components over verified
+    # pairs -> keep min id
     cand = minhash_lsh_candidates(exact, id_col, text_col)
-    verified = (ngram_jaccard_pairs(exact, id_col, text_col,
-                                    threshold=near_dup_jaccard)
-                .join(cand.select("id1", "id2"), ["id1", "id2"],
-                      "left_semi"))
+    verified = jaccard_verify_candidates(exact, cand, id_col, text_col,
+                                         threshold=near_dup_jaccard)
     comp = connected_components(
         verified.select(F.col("id1").alias("src"),
                         F.col("id2").alias("dst")))

@@ -94,12 +94,25 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard over shared-shingle candidate pairs."""
+                        threshold: float = 0.5,
+                        df_cap: int | None = 1000) -> DataFrame:
+    """Exact n-gram Jaccard over shared-shingle candidate pairs.
+
+    `df_cap` drops shingles appearing in more than that many docs
+    before the self-join (same skew guard as minhash_lsh_candidates):
+    one boilerplate 3-gram repeated across a crawl would otherwise
+    concentrate the shared-shingle join into a single quadratic hot
+    key. Jaccard is then computed over the capped shingle universe
+    (numerator and denominator from the same filtered set). Pass
+    df_cap=None for the uncapped oracle-twin semantics."""
     from dygiepp_spark.plans.session import spread
     docs = spread(docs)
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(word_shingles(text_col)).alias("s"))
+    if df_cap is not None:
+        hot = (sh.groupBy("s").agg(F.countDistinct("id").alias("df"))
+               .filter(F.col("df") > df_cap).select("s"))
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
@@ -116,32 +129,68 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= threshold))
 
 
+def jaccard_verify_candidates(docs: DataFrame, cand: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              threshold: float = 0.5) -> DataFrame:
+    """Exact word-shingle Jaccard computed ONLY on candidate pairs
+    (blocking-then-verify; the reverse order is the quadratic blowup
+    LSH blocking exists to avoid).
+
+    cand: (id1, id2) pairs, e.g. from minhash_lsh_candidates. Each
+    side of the candidate join brings its distinct-shingle ARRAY (one
+    row per doc, never the exploded stream), so the verify cost is
+    O(|candidates|), independent of corpus size. Same Jaccard values
+    as ngram_jaccard_pairs(df_cap=None) restricted to cand."""
+    shingled = docs.select(F.col(id_col).alias("id"),
+                           word_shingles(text_col).alias("sh"))
+    sa = shingled.select(F.col("id").alias("id1"),
+                         F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id2"),
+                         F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (cand.select("id1", "id2").join(sa, "id1").join(sb, "id2")
+            .withColumn("jaccard", inter * F.lit(1.0) / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard"))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash fingerprint, fully JVM-side and SQL-portable: bit j of
     the hash is the sign of Σ_tokens (+1 if the j-th md5 nibble of the
     token >= 8 else -1). Near-dups differ in few bits (compare with
-    bit_count(simhash1 ^ simhash2))."""
+    bit_count(simhash1 ^ simhash2)).
+
+    One-pass plan: all `bits` ±1 contributions are projected per
+    token row (md5 computed once, then `bits` nibble tests) and
+    summed element-wise in a SINGLE groupBy — the token stream is
+    shuffled 1x with full map-side partial aggregation, instead of
+    the bits-fold crossJoin blowup the naive form shuffles. The SQL
+    oracle twin (plans/queries_corpus.py::q_simhash) keeps the
+    relational crossJoin form; values are bit-identical."""
     from dygiepp_spark.plans.session import spread
     docs = spread(docs)
     tk = F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
-    toks = docs.select(F.col(id_col).alias("id"), tk.alias("tok"))
-    pos = (docs.sparkSession.range(bits)
-           .select((F.col("id") + 1).cast("int").alias("j")))
-    per_bit = (toks.crossJoin(F.broadcast(pos))
-               .select("id", "j",
-                       F.when(F.substring(F.md5("tok"), F.col("j"), 1)
-                              .isin("8", "9", "a", "b", "c", "d",
-                                    "e", "f"), 1)
-                       .otherwise(-1).alias("v"))
-               .groupBy("id", "j")
-               .agg(F.sum("v").alias("sv")))
-    return (per_bit.groupBy("id")
-            .agg(F.sum(F.when(F.col("sv") >= 0,
-                              F.expr("shiftleft(cast(1 as bigint), j - 1)"))
-                       .otherwise(0)).cast("bigint").alias("simhash"))
-            .select(F.col("id").cast("bigint").alias(id_col), "simhash"))
+    toks = (docs.select(F.col(id_col).alias("id"), tk.alias("tok"))
+            .select("id", F.md5("tok").alias("h")))
+    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    per_tok = toks.select(
+        "id", *[F.when(F.substring("h", j, 1).isin(*hi), 1)
+                .otherwise(-1).alias(f"v{j}")
+                for j in range(1, bits + 1)])
+    sums = per_tok.groupBy("id").agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(1, bits + 1)])
+    fp = None
+    for j in range(1, bits + 1):
+        term = F.when(F.col(f"s{j}") >= 0,
+                      F.lit(1 << (j - 1)).cast("bigint")).otherwise(
+                          F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col("id").cast("bigint").alias(id_col),
+                       fp.cast("bigint").alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -181,4 +230,42 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     return (a.join(b, F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id1"),
                     F.col("b.id").alias("id2"), cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def embedding_near_dups_blocked(emb: DataFrame, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                threshold: float = 0.95,
+                                n_tables: int = 8, bits: int = 6,
+                                seed: int = 42,
+                                dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs behind random-hyperplane LSH
+    blocking — the scale path embedding_near_dups' docstring promises.
+
+    Candidates = pairs sharing a bucket in >= 1 of n_tables sign-bit
+    tables (operators/ann.py::_bucket_udf — one Arrow-batch matmul,
+    planes regenerated from the seed); exact cosine verifies
+    candidates only. The bucket equi-join shards on (table, bucket) —
+    never all-pairs. Recall < 1 by construction; for threshold 0.95
+    (angle <= 18deg) the default 8x6-bit tables give ~1-(1-0.9^6)^8
+    ~= 0.998, measured vs the brute path in tests. Lower thresholds
+    need fewer bits / more tables (recall test uses bits=2, n_tables=16).
+    """
+    from dygiepp_spark.operators.ann import _bucket_udf, _cosine
+    if dim is None:
+        # driver action, sandbox convenience only — pass dim at scale
+        dim = len(emb.select(vec_col).first()[0])
+    bucket_of = _bucket_udf(dim, n_tables, bits, seed)
+    b = (emb.withColumn("buckets", bucket_of(F.col(vec_col)))
+         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                 F.posexplode("buckets").alias("table", "bucket")))
+    x, y = b.alias("x"), b.alias("y")
+    cand = (x.join(y, (F.col("x.table") == F.col("y.table"))
+                   & (F.col("x.bucket") == F.col("y.bucket"))
+                   & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id1"), F.col("x.v").alias("v1"),
+                    F.col("y.id").alias("id2"), F.col("y.v").alias("v2"))
+            .dropDuplicates(["id1", "id2"]))
+    cos = _cosine(F.col("v1"), F.col("v2"))
+    return (cand.select("id1", "id2", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))

@@ -127,7 +127,11 @@ def build_graph(spark: SparkSession, triples: DataFrame
     nodes: entity_id, canonical_text (most frequent mention surface,
     ties broken lexicographically), n_mentions, members (capped).
     edges: src_entity, pred, dst_entity, n_support from relation +
-    event_arg triples via gid->entity broadcast-able mapping.
+    event_arg triples via a plain gid->entity equi-join. gid2ent has
+    one row per DISTINCT mention text — it grows with the corpus, so
+    no broadcast hint: AQE converts the join to broadcast at runtime
+    only when the side actually fits (a forced hint would OOM at
+    crawl scale).
     """
     from pyspark.sql import Window
     from dygiepp_spark.operators.extract import mentions_from_triples
@@ -178,8 +182,8 @@ def build_graph(spark: SparkSession, triples: DataFrame
                        F.col("entity_id").alias("src_entity"))
     d = gid2ent.select(F.col("gid").alias("dst_gid"),
                        F.col("entity_id").alias("dst_entity"))
-    edges = (rel.join(F.broadcast(s), "src_gid", "left")
-             .join(F.broadcast(d), "dst_gid", "left")
+    edges = (rel.join(s, "src_gid", "left")
+             .join(d, "dst_gid", "left")
              .select(F.coalesce("src_entity", "src_gid")
                      .alias("src_entity"),
                      "pred",

@@ -569,6 +569,23 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id1", "id2"))
 
 
+@register("embedding_near_dups_blocked")
+def q_embedding_near_dups_blocked(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup — the scale path (rows-only:
+    hyperplane buckets are not SQL-expressible; recall >= 0.95 vs the
+    brute path asserted in tests/test_operators.py). Same exact-cosine
+    verify as q_embedding_near_dups, candidates-only."""
+    from dygiepp_spark.operators.dedup import embedding_near_dups_blocked
+    return (embedding_near_dups_blocked(_emb(spark, sf_dir),
+                                        threshold=0.25,
+                                        n_tables=16, bits=2, dim=64)
+            .select(F.col("id1").cast("bigint").alias("id1"),
+                    F.col("id2").cast("bigint").alias("id2"),
+                    F.round("cosine", 4).alias("cosine"))
+            .orderBy("id1", "id2"))
+
+
 # ------------------------------------------------- ANN scale paths
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

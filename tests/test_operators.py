@@ -61,6 +61,77 @@ def test_ngram_jaccard_exact_dups_score_one(spark, docs):
     assert pairs.count() >= dup_pairs.count()
 
 
+def test_jaccard_verify_candidates_matches_full_join(spark, docs):
+    """Candidates-only verify must return exactly the uncapped
+    full-join Jaccard values restricted to the candidate set."""
+    from dygiepp_spark.operators.dedup import (jaccard_verify_candidates,
+                                               minhash_lsh_candidates,
+                                               ngram_jaccard_pairs)
+    cand = minhash_lsh_candidates(docs).select("id1", "id2")
+    via_cand = jaccard_verify_candidates(docs, cand, threshold=0.5)
+    via_full = (ngram_jaccard_pairs(docs, threshold=0.5, df_cap=None)
+                .join(cand, ["id1", "id2"], "left_semi"))
+    a = {(r.id1, r.id2, round(r.jaccard, 6)) for r in via_cand.collect()}
+    b = {(r.id1, r.id2, round(r.jaccard, 6)) for r in via_full.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    """A boilerplate shingle shared by every doc must not create
+    pairs once the df-cap drops it."""
+    from dygiepp_spark.operators.dedup import ngram_jaccard_pairs
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} unique{i} content{i} tail{i} x{i} y{i}")
+            for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = ngram_jaccard_pairs(d, threshold=0.01, df_cap=None)
+    capped = ngram_jaccard_pairs(d, threshold=0.01, df_cap=3)
+    assert uncapped.count() == 15  # all pairs share the boilerplate
+    assert capped.count() == 0     # hot shingle capped away
+
+
+def test_clean_corpus_verify_input_is_candidate_set(spark, docs,
+                                                    monkeypatch):
+    """The near-dup verify stage must receive the LSH candidate set,
+    not the shared-shingle self-join (blocking before verification)."""
+    import dygiepp_spark.operators.corpus_pipeline as cp
+    from dygiepp_spark.operators.dedup import jaccard_verify_candidates
+    seen = {}
+
+    def spy(d, cand, *a, **kw):
+        seen["n_cand"] = cand.count()
+        return jaccard_verify_candidates(d, cand, *a, **kw)
+
+    monkeypatch.setattr(cp, "jaccard_verify_candidates", spy)
+    planted = docs.limit(5).withColumn("doc_id",
+                                       F.col("doc_id") + 100000)
+    _clean, stats = cp.clean_corpus(docs.unionByName(planted),
+                                    min_tokens=8)
+    n = stats["n_after_exact_dedup"]
+    assert seen["n_cand"] >= 1          # planted dups are candidates
+    assert seen["n_cand"] < n * (n - 1) // 20, (
+        "verify input looks like an all/shared-shingle pair set, "
+        "not LSH candidates")
+
+
+def test_embedding_near_dups_blocked_recall(spark, emb):
+    """LSH-blocked near-dup must recover >=95% of the brute-force
+    pairs at the same threshold, with identical cosines."""
+    from dygiepp_spark.operators.dedup import (embedding_near_dups,
+                                               embedding_near_dups_blocked)
+    brute = embedding_near_dups(emb, threshold=0.25)
+    blocked = embedding_near_dups_blocked(emb, threshold=0.25,
+                                          n_tables=16, bits=2)
+    b = {(r.id1, r.id2): r.cosine for r in brute.collect()}
+    k = {(r.id1, r.id2): r.cosine for r in blocked.collect()}
+    assert len(b) > 0
+    recall = len(b.keys() & k.keys()) / len(b)
+    assert recall >= 0.95, recall
+    # no false positives, exact cosines on the intersection
+    assert set(k) <= set(b)
+    assert all(abs(b[p] - k[p]) < 1e-9 for p in k)
+
+
 def test_simhash_identical_for_dups_and_portable(spark, docs):
     from dygiepp_spark.operators.dedup import simhash
     sh = simhash(docs.limit(100))

@@ -49,6 +49,26 @@ def test_pages_scan_prunes_unused_columns(spark):
     assert "text" not in read_schema and "n_chars" not in read_schema
 
 
+def test_edges_join_has_no_broadcast_hint(spark):
+    """gid2ent is corpus-sized (one row per distinct mention text) —
+    the edges join must NOT carry a forced broadcast hint; AQE decides
+    at runtime. Inverse of test_region_revenue_uses_broadcast_joins."""
+    from dygiepp_spark.plans.pipeline import build_graph
+    rows = [
+        ("u1", "ner", "acme corp", "is_a", "ORG", 0, 1, -1, -1, 0, 0.9),
+        ("u1", "relation", "acme corp", "based_in", "paris",
+         0, 1, 3, 3, 0, 0.8),
+        ("u1", "ner", "paris", "is_a", "LOC", 3, 3, -1, -1, 0, 0.9),
+    ]
+    from dygiepp_spark.operators.extract import TRIPLE_SCHEMA
+    triples = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    _, edges = build_graph(spark, triples)
+    analyzed = edges._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "edges join must not force a broadcast of the corpus-sized "
+        "gid2ent side")
+
+
 def test_whole_stage_codegen_covers_projection(spark):
     from dygiepp_spark.sources.pages import synth_pages
     plan = _plan(synth_pages(spark, "/root/testdata/sf0.001"))
