@@ -308,7 +308,13 @@ def triples_rows(url: str, text: str, w: dict) -> list[tuple]:
     schema of FIXTURES.md §3 + sent_id):
     (url, kind, subj, pred, obj,
      subj_start, subj_end, obj_start, obj_end, sent_id, score)
-    kinds: ner | relation | event_arg | coref.
+    kinds: ner | relation | event | event_arg | coref.
+
+    `event` rows carry every predicted trigger — including triggers
+    with zero arguments — so the prediction sink can rebuild the
+    reference's `predicted_events` surface, whose [trigger_tok,
+    event_type] entry exists even for argument-less events
+    (ref:dygie/models/events.py::EventExtractor decode; SURVEY §1.1).
     """
     out = decode_document(url, text, w)
     tokens = [t for s in doc_to_sentences(text) for t in s]
@@ -319,6 +325,9 @@ def triples_rows(url: str, text: str, w: dict) -> list[tuple]:
     for sid, s1, e1, s2, e2, lab, score in out["relations"]:
         rows.append((url, "relation", span_text(tokens, s1, e1), lab,
                      span_text(tokens, s2, e2), s1, e1, s2, e2, sid, score))
+    for sid, t, etype, score in out["triggers"]:
+        rows.append((url, "event", f"{span_text(tokens, t, t)}|{etype}",
+                     "has_event_type", etype, t, t, -1, -1, sid, score))
     for sid, t, etype, s, e, role, score in out["args"]:
         rows.append((url, "event_arg",
                      f"{span_text(tokens, t, t)}|{etype}", role,

@@ -61,9 +61,14 @@ def docs_to_pages(docs: DataFrame) -> DataFrame:
 def triples_to_predictions(triples: DataFrame) -> DataFrame:
     """Fold the wide triples stream back into per-document
     `predicted_*` shapes (S3 sink): one row per doc_key with
-    predicted_ner [start, end, label, score] and predicted_relations
-    [s1, e1, s2, e2, label, score] — the §2.9 contract surface,
-    JSON-serializable via df.write.json."""
+    predicted_ner [start, end, label, score], predicted_relations
+    [s1, e1, s2, e2, label, score], predicted_events (one entry per
+    TRIGGER — present even with zero arguments, matching the
+    reference's [trigger_tok, event_type] entry for arg-less events;
+    ref:dygie/models/events.py::EventExtractor decode) and
+    predicted_clusters (the coref surface;
+    ref:dygie/models/coref.py::CorefResolver decode) — the §1.1/§2.9
+    contract surface, JSON-serializable via df.write.json."""
     ner = (triples.filter(F.col("kind") == "ner")
            .groupBy(F.col("url").alias("doc_key"))
            .agg(F.array_sort(F.collect_list(F.struct(
@@ -80,14 +85,39 @@ def triples_to_predictions(triples: DataFrame) -> DataFrame:
                F.col("obj_end").alias("e2"),
                F.col("pred").alias("label"),
                F.col("score")))).alias("predicted_relations")))
-    ev = (triples.filter(F.col("kind") == "event_arg")
+    # events: trigger rows (kind='event') LEFT-join their args so an
+    # argument-less trigger still emits its [trigger, event_type]
+    # entry; args nested per trigger, deterministic ordering.
+    args = (triples.filter(F.col("kind") == "event_arg")
+            .groupBy("url", F.col("subj_start").alias("trigger"))
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col("obj_start").alias("arg_start"),
+                F.col("obj_end").alias("arg_end"),
+                F.col("pred").alias("role"),
+                F.col("score")))).alias("args")))
+    empty_args = F.array().cast(
+        "array<struct<arg_start:int,arg_end:int,role:string,"
+        "score:double>>")
+    ev = (triples.filter(F.col("kind") == "event")
+          .select("url", F.col("subj_start").alias("trigger"),
+                  F.col("obj").alias("event_type"), "score")
+          .join(args, ["url", "trigger"], "left")
           .groupBy(F.col("url").alias("doc_key"))
           .agg(F.array_sort(F.collect_list(F.struct(
-              F.col("subj_start").alias("trigger"),
-              F.col("subj").alias("trigger_and_type"),
-              F.col("obj_start").alias("arg_start"),
-              F.col("obj_end").alias("arg_end"),
-              F.col("pred").alias("role"),
-              F.col("score")))).alias("predicted_events")))
+              "trigger", "event_type", "score",
+              F.coalesce("args", empty_args).alias("args"))))
+              .alias("predicted_events")))
+    # clusters: per-doc union-find over antecedent links
+    from dygiepp_spark.operators.linking import coref_clusters
+    clus = (coref_clusters(triples)
+            .groupBy("url", "cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("start", "end")))
+                 .alias("spans"))
+            .groupBy(F.col("url").alias("doc_key"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("cluster_id", "spans"))),
+                lambda x: x["spans"]).alias("predicted_clusters")))
     return (ner.join(rel, "doc_key", "full")
-            .join(ev, "doc_key", "full"))
+            .join(ev, "doc_key", "full")
+            .join(clus, "doc_key", "full"))

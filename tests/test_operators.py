@@ -227,6 +227,18 @@ def test_document_jsonl_roundtrip(spark, tmp_path):
     preds = triples_to_predictions(triples)
     assert preds.count() <= 2
     assert "predicted_ner" in preds.columns
+    assert "predicted_events" in preds.columns
+    assert "predicted_clusters" in preds.columns
+    # every predicted trigger appears as an event entry, including
+    # argument-less ones (the reference's [trigger, type] surface)
+    n_trig = triples.filter(F.col("kind") == "event").count()
+    n_ev = sum(len(r.predicted_events or [])
+               for r in preds.select("predicted_events").collect())
+    assert n_ev == n_trig
+    # arg-less triggers carry an empty args array, not null
+    ev_rows = [e for r in preds.select("predicted_events").collect()
+               for e in (r.predicted_events or [])]
+    assert all(e.args is not None for e in ev_rows)
 
     # decode parity with the oracle on the same text
     from dygiepp_spark.kernel.oracle import decode_corpus, triple_prf
