@@ -30,8 +30,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               tolerance_sec: int | None = 3600,
               strict: bool = True) -> DataFrame:
     """Built-in composition. Output: all left columns + matched right
-    columns prefixed `r_` (unmatched lefts dropped — inner as-of)."""
-    l = left.alias("l")
+    columns prefixed `r_` (unmatched lefts dropped — inner as-of).
+
+    The rank-1 window partitions on a synthetic per-row key, not the
+    left columns: two fully identical left rows each keep their own
+    match (same multiplicity contract as asof_join_pandas /
+    pd.merge_asof), instead of silently collapsing to one."""
+    l = left.withColumn("_l_uid", F.monotonically_increasing_id()) \
+        .alias("l")
     r = right.alias("r")
     lts = F.col(f"l.{left_ts}")
     rts = F.col(f"r.{right_ts}")
@@ -41,7 +47,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         cond = cond & (rts >= lts - F.expr(
             f"INTERVAL {tolerance_sec} SECOND"))
     joined = l.join(r, cond)
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]) \
+    w = Window.partitionBy(F.col("l._l_uid")) \
         .orderBy(rts.desc(), F.col(f"r.{right_id}").desc())
     out_cols = [F.col(f"l.{c}").alias(c) for c in left.columns] + \
                [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]

@@ -53,8 +53,8 @@ def _local_union_find(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
 
 def connected_components(edges: DataFrame,
                          max_iters: int = CC_MAX_ITERS,
-                         local_solve_max_edges: int = LOCAL_SOLVE_MAX_EDGES
-                         ) -> DataFrame:
+                         local_solve_max_edges: int = LOCAL_SOLVE_MAX_EDGES,
+                         stats: dict | None = None) -> DataFrame:
     """edges: (src bigint, dst bigint), undirected, self-loops ok.
     Returns (node bigint, component bigint) for every node that
     appears in `edges`; component == min node id reachable.
@@ -77,6 +77,8 @@ def connected_components(edges: DataFrame,
     # symmetrizes implicitly, so the shuffle-heavy distinct/symmetrize
     # below is skipped entirely for small graphs.
     n_raw = e.count()
+    if stats is not None:
+        stats["n_raw_edges"] = n_raw
     if n_raw <= local_solve_max_edges:
         import pandas as pd
         spark = edges.sparkSession
@@ -88,12 +90,17 @@ def connected_components(edges: DataFrame,
         solved = _local_union_find(pairs)
         out = pd.DataFrame(solved, columns=["node", "component"],
                            dtype="int64")
+        if stats is not None:
+            stats["path"] = "local_union_find"
         return spark.createDataFrame(out)
 
-    return _star_contraction(e, max_iters)
+    if stats is not None:
+        stats["path"] = "star_contraction"
+    return _star_contraction(e, max_iters, stats=stats)
 
 
-def _star_contraction(e: DataFrame, max_rounds: int) -> DataFrame:
+def _star_contraction(e: DataFrame, max_rounds: int,
+                      stats: dict | None = None) -> DataFrame:
     """Distributed CC via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
     and Beyond", SoCC'14 — public algorithm). Each round is two
@@ -147,7 +154,9 @@ def _star_contraction(e: DataFrame, max_rounds: int) -> DataFrame:
                         F.greatest("x", "y").alias("b"))
                 .distinct())
 
-    for _ in range(max_rounds):
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
         after_large = _min_star(edges, "a", "b", keep_gt=True)
         after_small = _min_star(after_large, "a", "b", keep_gt=False)
         after_small = (after_small.repartition(n_parts, "a")
@@ -158,7 +167,20 @@ def _star_contraction(e: DataFrame, max_rounds: int) -> DataFrame:
                  .filter(F.col("c") == 1).limit(1).count())
         edges = after_small
         if delta == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # deriving labels from an unconverged edge set can mislabel
+        # components on adversarial/deep graphs — never do it silently
+        import warnings
+        warnings.warn(
+            f"connected_components: star contraction did NOT converge "
+            f"within max_rounds={max_rounds}; component labels may be "
+            f"incorrect — raise CC_MAX_ITERS (O(log n) rounds expected)",
+            RuntimeWarning, stacklevel=2)
 
     # stars: every edge (a,b) with a = component min of b
     membership = (edges.select(F.col("b").alias("node"),

@@ -120,7 +120,8 @@ def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
             "partitions": [r.partition_id for r in stats]}
 
 
-def build_graph(spark: SparkSession, triples: DataFrame
+def build_graph(spark: SparkSession, triples: DataFrame,
+                timings: dict | None = None
                 ) -> tuple[DataFrame, DataFrame]:
     """triples -> (nodes, edges) per FIXTURES.md §3.
 
@@ -138,7 +139,12 @@ def build_graph(spark: SparkSession, triples: DataFrame
     from dygiepp_spark.operators.linking import link_entities
 
     mentions = mentions_from_triples(triples)
+    t0 = time.time()
     linked = link_entities(mentions, triples).localCheckpoint(eager=True)
+    if timings is not None:
+        # the eager checkpoint materializes LSH blocking + verify + CC
+        # — the linking substage cost, separable from members/edges
+        timings["link_sec"] = round(time.time() - t0, 3)
 
     w = Window.partitionBy("entity_id").orderBy(
         F.col("n_mentions").desc(), F.col("norm_text").asc())

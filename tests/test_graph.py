@@ -194,6 +194,29 @@ def test_star_contraction_long_chain(spark):
     assert got == {i: 0 for i in range(64)}
 
 
+def test_star_contraction_warns_on_non_convergence(spark):
+    """Exhausting max_rounds with delta > 0 must not silently emit
+    possibly-wrong labels (a deep chain can't converge in 1 round)."""
+    import pytest as _pytest
+    from dygiepp_spark.operators.cc import connected_components
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    stats = {}
+    with _pytest.warns(RuntimeWarning, match="did NOT converge"):
+        connected_components(df, max_iters=1,
+                             local_solve_max_edges=0,
+                             stats=stats).collect()
+    assert stats["converged"] is False and stats["rounds"] == 1
+
+    # and a normal run reports convergence + round count
+    stats2 = {}
+    connected_components(df, local_solve_max_edges=0,
+                         stats=stats2).collect()
+    assert stats2["converged"] is True
+    assert 1 <= stats2["rounds"] <= 12
+    assert stats2["path"] == "star_contraction"
+
+
 def test_lineage_per_partition_rates(spark, out_dir):
     """A5: lineage docs_per_sec is measured per WARC partition inside
     the decode UDF (accumulator), not a copied global estimate."""

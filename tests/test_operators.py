@@ -318,6 +318,28 @@ def test_asof_join_paths_agree(spark):
     assert ra == rb and len(ra) > 0
 
 
+def test_asof_join_preserves_duplicate_left_rows(spark):
+    """Two fully identical left rows must EACH keep their match (the
+    pd.merge_asof multiplicity contract) — the rank-1 window runs on a
+    per-row synthetic key, not the left column tuple."""
+    from dygiepp_spark.operators.asof import asof_join, asof_join_pandas
+    left = spark.createDataFrame(
+        [(1, 100), (1, 100), (1, 50)],
+        "user_id int, ts int").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 90, 7), (1, 40, 8)],
+        "user_id int, ts int, event_id int").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_id")
+    a = asof_join(left, right, on="user_id", tolerance_sec=3600)
+    b = asof_join_pandas(left, right, on="user_id", tolerance_sec=3600)
+    assert a.count() == 3, "duplicate left row was silently dropped"
+    ra = sorted((r.user_id, r.r_event_id) for r in a.collect())
+    rb = sorted((r.user_id, r.r_event_id) for r in b.collect())
+    assert ra == rb == [(1, 7), (1, 7), (1, 8)]
+
+
 def test_clean_corpus_pipeline(spark, docs):
     from dygiepp_spark.operators.corpus_pipeline import clean_corpus
     # plant 10 exact duplicates with fresh ids
