@@ -569,6 +569,29 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id1", "id2"))
 
 
+@register("q_token_vocab", sql=r"""
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 200
+""")
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 vocabulary build, token namespace (operators/vocab.py::
+    token_vocab): word-count -> deterministic (count desc, token asc)
+    top-K — the AllenNLP Vocabulary.from_instances ordering."""
+    return (_docs(spark, sf_dir)
+            .select(F.explode(F.split(F.trim(F.col("text")),
+                                      r"\s+")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("tok").asc())
+            .limit(200))
+
+
 @register("embedding_near_dups_blocked")
 def q_embedding_near_dups_blocked(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:

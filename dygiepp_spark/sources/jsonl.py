@@ -42,7 +42,10 @@ def read_document_jsonl(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.schema(DOC_JSON_SCHEMA).json(path)
     return raw.select(
         "doc_key", "dataset", "sentences",
-        F.array_join(F.flatten("sentences"), " ").alias("text"))
+        F.array_join(F.flatten("sentences"), " ").alias("text"),
+        # gold annotations ride along (null when absent) — the A2
+        # vocabulary build and gold<->pred matching consume them
+        "ner", "relations", "clusters")
 
 
 def docs_to_pages(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,108 @@
+"""S4 raw-corpus ingestion: ACE-style SGML+APF and SciERC-style
+archive readers roundtrip to document JSON matching hand-written
+expectations (VERDICT round-1 item 10; SURVEY §2.1 S4)."""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "ace_style")
+
+
+def test_ace_pure_parser_matches_hand_expectations():
+    from dygiepp_spark.sources.ingest import ace_to_document_json
+    with open(os.path.join(FIX, "ace_mini_001.sgm"), "rb") as f:
+        sgm = f.read()
+    with open(os.path.join(FIX, "ace_mini_001.apf.xml"), "rb") as f:
+        apf = f.read()
+    d = ace_to_document_json("ace_mini_001", sgm, apf)
+    assert d["doc_key"] == "ace_mini_001"
+    assert d["sentences"] == [
+        ["John", "Smith", "visited", "Acme", "Corp", "in", "Paris."],
+        ["The", "company", "hired", "him", "last", "year."]]
+    # char offsets -> document-level end-inclusive token spans
+    assert d["ner"] == [
+        [["0", "1", "PER"], ["3", "4", "ORG"], ["6", "6", "GPE"]],
+        [["7", "8", "ORG"], ["10", "10", "PER"]]]
+    assert d["relations"] == [
+        [["0", "1", "6", "6", "PHYS"]],
+        [["10", "10", "7", "8", "ORG-AFF"]]]
+
+
+def test_ace_corpus_reader_roundtrips_through_extraction(spark):
+    """Directory scan -> document JSON -> the same decode path as
+    pages input, P/R = 1.0 vs the oracle on the ingested text."""
+    from dygiepp_spark.kernel.oracle import decode_corpus, triple_prf
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.sources.ingest import read_ace_corpus
+    from dygiepp_spark.sources.jsonl import docs_to_pages
+    df = read_ace_corpus(spark, FIX)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].text == ("John Smith visited Acme Corp in Paris. "
+                            "The company hired him last year.")
+    pred = extract_triples(docs_to_pages(df), from_html=True).toPandas()
+    gold = decode_corpus([(r.doc_key, r.text) for r in rows])
+    m = triple_prf(pred, gold)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0
+
+
+def test_label_vocab_from_ace_docs(spark):
+    """A2: label namespaces built from gold annotations by
+    distinct-aggregate, matching the fixture's hand-known labels."""
+    from dygiepp_spark.operators.vocab import (build_and_broadcast,
+                                               label_vocab_from_docs)
+    from dygiepp_spark.sources.ingest import read_ace_corpus
+    docs = read_ace_corpus(spark, FIX)
+    vocab = label_vocab_from_docs(docs)
+    assert vocab["ner_labels"] == ["GPE", "ORG", "PER"]
+    assert vocab["relation_labels"] == ["ORG-AFF", "PHYS"]
+    full, bc = build_and_broadcast(spark, docs)
+    assert bc.value["ner_labels"] == ["GPE", "ORG", "PER"]
+    # all fixture tokens are count-1 -> pure token-asc ordering
+    assert full["tokens"][0] == "Acme" and len(full["tokens"]) == 13
+
+
+def test_token_vocab_ordering(spark):
+    """count desc, token asc — deterministic through ties."""
+    from dygiepp_spark.operators.vocab import token_vocab
+    d = spark.createDataFrame(
+        [(1, "b a b c a b"), (2, "c a")],
+        "doc_id bigint, text string")
+    got = token_vocab(d)
+    assert got == [("a", 3), ("b", 3), ("c", 2)]
+    assert token_vocab(d, min_count=3) == [("a", 3), ("b", 3)]
+    assert token_vocab(d, max_size=1) == [("a", 3)]
+
+
+@pytest.mark.parametrize("kind", ["zip", "tar"])
+def test_scierc_archive_reader(spark, tmp_path, kind):
+    docs = [
+        {"doc_key": "s1", "dataset": "scierc_style",
+         "sentences": [["neural", "models", "parse", "text"]]},
+        {"doc_key": "s2", "dataset": "scierc_style",
+         "sentences": [["spark", "scales", "out"], ["it", "shuffles"]]},
+    ]
+    payload = "\n".join(json.dumps(d) for d in docs).encode()
+    if kind == "zip":
+        arc = tmp_path / "scierc.zip"
+        with zipfile.ZipFile(arc, "w") as z:
+            z.writestr("sciERC_processed/train.jsonl", payload)
+            z.writestr("sciERC_processed/README.txt", b"not jsonl")
+    else:
+        import tarfile
+        arc = tmp_path / "scierc.tar.gz"
+        with tarfile.open(arc, "w:gz") as t:
+            import io as _io
+            ti = tarfile.TarInfo("processed/dev.jsonl")
+            ti.size = len(payload)
+            t.addfile(ti, _io.BytesIO(payload))
+    from dygiepp_spark.sources.ingest import read_scierc_archive
+    df = read_scierc_archive(spark, str(arc))
+    got = {r.doc_key: r.text for r in df.collect()}
+    assert got == {"s1": "neural models parse text",
+                   "s2": "spark scales out it shuffles"}
