@@ -79,6 +79,53 @@ def test_token_vocab_ordering(spark):
     assert token_vocab(d, max_size=1) == [("a", 3)]
 
 
+def test_prf_table_hand_computed(spark):
+    """Exact-match evaluation with hand-known TP/FP/FN counts."""
+    from dygiepp_spark.operators.evaluate import prf_table
+    schema = "doc_key string, start int, end int, label string"
+    gold = spark.createDataFrame(
+        [("d1", 0, 1, "PER"), ("d1", 3, 4, "ORG"), ("d2", 0, 0, "GPE")],
+        schema)
+    pred = spark.createDataFrame(
+        [("d1", 0, 1, "PER"), ("d1", 5, 6, "ORG"), ("d2", 0, 0, "PER")],
+        schema)
+    got = {r.label: r for r in prf_table(
+        pred, gold, ["doc_key", "start", "end", "label"]).collect()}
+    assert (got["PER"].tp, got["PER"].n_pred, got["PER"].n_gold) \
+        == (1, 2, 1)
+    assert got["PER"].precision == 0.5 and got["PER"].recall == 1.0
+    assert got["ORG"].f1 == 0.0
+    assert (got["GPE"].n_pred, got["GPE"].n_gold) == (0, 1)
+    allr = got["__ALL__"]
+    assert (allr.tp, allr.n_pred, allr.n_gold) == (1, 3, 3)
+    assert allr.precision == allr.recall == round(1 / 3, 6)
+
+
+def test_evaluate_gold_against_itself_is_perfect(spark):
+    """Plumbing check on the ACE fixture: gold evaluated against
+    gold must score 1.0 everywhere (spans, labels, grouping)."""
+    from dygiepp_spark.operators.evaluate import (evaluate_against_gold,
+                                                  gold_ner_spans,
+                                                  gold_relation_spans,
+                                                  prf_table)
+    from dygiepp_spark.sources.ingest import read_ace_corpus
+    docs = read_ace_corpus(spark, FIX)
+    g_ner = gold_ner_spans(docs)
+    assert g_ner.count() == 5
+    ner = prf_table(g_ner, g_ner,
+                    ["doc_key", "start", "end", "label"]).collect()
+    assert all(r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0
+               for r in ner)
+    g_rel = gold_relation_spans(docs)
+    assert g_rel.count() == 2
+    # and the composed entry point runs end-to-end on real decode
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.sources.jsonl import docs_to_pages
+    triples = extract_triples(docs_to_pages(docs), from_html=True)
+    tables = evaluate_against_gold(triples, docs)
+    assert {r.label for r in tables["ner"].collect()} >= {"__ALL__"}
+
+
 @pytest.mark.parametrize("kind", ["zip", "tar"])
 def test_scierc_archive_reader(spark, tmp_path, kind):
     docs = [
