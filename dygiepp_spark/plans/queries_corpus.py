@@ -438,6 +438,40 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- CC with SQL oracle
+@register("q_simhash_near_pairs", sql="""
+WITH toks AS (SELECT doc_id,
+                     UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents),
+bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN substr(md5(tok), j, 1) IN
+                         ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE -1 END) AS sv
+         FROM toks CROSS JOIN
+              (SELECT UNNEST(generate_series(1, 16)) AS j) p
+         GROUP BY doc_id, j),
+sh AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN sv >= 0 THEN 1 << (j - 1) ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b
+  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id1, id2
+""")
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (operators/dedup.py::simhash_near_pairs):
+    upper-byte blocking + Hamming <= 3 verify, bit-identical to the
+    DuckDB xor/bit_count oracle."""
+    from dygiepp_spark.operators.dedup import simhash_near_pairs
+    return (simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+            .select(F.col("id1").cast("bigint").alias("id1"),
+                    F.col("id2").cast("bigint").alias("id2"),
+                    "hamming")
+            .orderBy("id1", "id2"))
+
+
 @register("q_doc_components", sql=f"""
 WITH RECURSIVE {_SH_CTE},
 bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,

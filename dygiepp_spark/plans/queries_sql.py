@@ -351,6 +351,31 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+@register("q_event_windows", sql="""
+SELECT CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (F.window) — the batch twin of the
+    streaming windowed aggregation (streaming/windows.py): same
+    30-minute buckets, window start surfaced as epoch seconds."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window(F.col("ts"), "30 minutes").alias("win"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.unix_timestamp(
+                F.col("win.start").cast("timestamp"))
+                .cast("bigint").alias("win_start"),
+                "event_type", "n", "total_value")
+            .orderBy("win_start", "event_type"))
+
+
 # -------------------------------------------------------------- as-of join
 @register("q_asof_prior_login", sql="""
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
