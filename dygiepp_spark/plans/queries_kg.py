@@ -67,6 +67,44 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy("src_entity", "pred", "dst_entity")
 
 
+@register("kg_predictions")
+def kg_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 prediction sink surface: per-document predicted_ner /
+    predicted_relations / predicted_events (trigger-first, arg-less
+    events included) / predicted_clusters, flattened to countable
+    per-doc sizes (rows-only; field-level shape tested in
+    tests/test_operators.py::test_document_jsonl_roundtrip)."""
+    from dygiepp_spark.sources.jsonl import triples_to_predictions
+    preds = triples_to_predictions(_triples(spark, sf_dir))
+    return (preds.select(
+        "doc_key",
+        F.size(F.coalesce("predicted_ner", F.array()))
+        .alias("n_ner"),
+        F.size(F.coalesce("predicted_relations", F.array()))
+        .alias("n_relations"),
+        F.size(F.coalesce("predicted_events", F.array()))
+        .alias("n_events"),
+        F.size(F.coalesce("predicted_clusters", F.array()))
+        .alias("n_clusters"))
+            .orderBy("doc_key"))
+
+
+@register("corpus_clean_stats")
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning funnel (operators/corpus_pipeline.py) run over
+    the documents table: one row of stage counts (rows-only; survivor
+    semantics + candidates-only verify tested in
+    tests/test_operators.py)."""
+    from dygiepp_spark.operators.corpus_pipeline import clean_corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _clean, stats = clean_corpus(docs, min_tokens=8)
+    return spark.createDataFrame(
+        [(stats["n_input"], stats["n_after_quality"],
+          stats["n_after_exact_dedup"], stats["n_after_near_dedup"])],
+        "n_input bigint, n_after_quality bigint, "
+        "n_after_exact_dedup bigint, n_after_near_dedup bigint")
+
+
 @register("kg_coref_clusters")
 def kg_coref_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level predicted coref clusters (M10 decode + per-doc
