@@ -16,7 +16,7 @@ end asc) — required for decode parity across partitionings
 (SURVEY.md §4.3).
 
 Stage map (reference anchors in SURVEY.md §2.8):
-  M1  contextual encode          — hashed embedding + 3-gram mixer
+  M1  contextual encode          — wordpiece mean-pool + 3-gram mixer
   M2  span enumeration (W≤8)     — kernel/spans.py
   M3  span repr [h_s; h_e; w]    — EndpointSpanExtractor semantics
   M4  mention score + beam (W1)  — ref entity_beam_pruner.py::Pruner
@@ -53,11 +53,28 @@ PAIR_BLOCK = 768     # max pruned spans per sentence-group for M7/M9
 
 
 def _encode(tokens: list[str], w: dict) -> np.ndarray:
-    """M1: hashed token embeddings + 3-gram contextual mixer.
-    Document-level (context crosses sentence boundaries, the paper's
-    cross-sentence encoding [PAPER])."""
-    ids = nn.token_ids(tokens, C.VOCAB_BUCKETS)
-    emb = w["tok_emb"][ids]                                   # [n, H]
+    """M1 + X3: wordpiece token encoding + 3-gram contextual mixer.
+    Each token is greedily segmented into wordpieces (kernel/
+    wordpiece.py — the BERT algorithm with byte fallback over a
+    pinned vocab) and its embedding is the VARIANCE-PRESERVING mean
+    of its piece embeddings (mean * sqrt(k): a plain mean shrinks
+    embedding variance by 1/k, which at fixed null-bias weights
+    collapses decode sparsity for many-piece tokens) — the
+    reference's wordpiece->word alignment (SURVEY §2.7 X3, AllenNLP
+    mismatched indexer/embedder). Document-level context (crosses
+    sentence boundaries, the paper's cross-sentence encoding
+    [PAPER])."""
+    from dygiepp_spark.kernel.wordpiece import wordpiece_ids
+    pe = w["piece_emb"]
+    if not tokens:
+        emb = np.zeros((0, pe.shape[1]), F32)
+    else:
+        pooled = []
+        for t in tokens:
+            pids = wordpiece_ids(t)
+            pooled.append(pe[list(pids)].mean(axis=0)
+                          * np.sqrt(F32(len(pids))))
+        emb = np.vstack(pooled).astype(F32)
     n, h = emb.shape
     left = np.vstack([np.zeros((1, h), F32), emb[:-1]])
     right = np.vstack([emb[1:], np.zeros((1, h), F32)])

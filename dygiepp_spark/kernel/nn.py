@@ -29,8 +29,10 @@ def fnv1a64(data: bytes) -> int:
 
 
 def token_ids(tokens: list[str], n_buckets: int) -> np.ndarray:
-    """Hash tokens into embedding buckets (stand-in for the AllenNLP
-    Vocabulary + wordpiece indexer, SURVEY.md §2.7 X3)."""
+    """Hash tokens into embedding buckets. Retained as the cheap
+    hashed-bucket indexer (and to keep the weight-fixture draw order
+    stable); the decode path now uses kernel/wordpiece.py greedy
+    segmentation + mean-pool for X3."""
     return np.fromiter(
         (fnv1a64(t.encode("utf-8")) % n_buckets for t in tokens),
         dtype=np.int64,

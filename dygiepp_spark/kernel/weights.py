@@ -69,6 +69,11 @@ def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
         "f_w": mat(2 * D, D),
         "f_b": np.zeros(D, dtype=F32),
     }
+    # wordpiece embedding table (X3/M1) — appended AFTER the original
+    # draws so every other matrix keeps its round-1 values; one row
+    # per piece of the pinned wordpiece vocab
+    from dygiepp_spark.kernel.wordpiece import VOCAB as WP_VOCAB
+    w["piece_emb"] = mat(len(WP_VOCAB), H)
     w["ner_b"][0] = F32(NULL_BIAS_NER)
     w["rel_b"][0] = F32(NULL_BIAS_REL)
     w["t_b2"][0] = F32(NULL_BIAS_TRIG)

@@ -3,6 +3,15 @@ from __future__ import annotations
 import os
 import sys
 
+# BLAS pinning must precede the first numpy import in the test
+# process (not just in executors): the driver-side oracle must run
+# the same single-threaded kernels as the workers or near-tied
+# argmaxes diverge (see dygiepp_spark/__init__.py).
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+           "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -124,10 +124,11 @@ def test_golden_decode_hash(sf_docs):
     df = decode_corpus(sf_docs[:25])
     payload = df.drop(columns=["score"]).to_csv(index=False).encode()
     digest = hashlib.sha256(payload).hexdigest()
-    # re-pinned (round 2): triples_rows now also emits kind='event'
-    # rows for every predicted trigger (arg-less events included)
-    frozen = "1b06818386c97e6dc9faab8b7730e981790f4ee1ad4a38b6b376ab73fb5a0d5d"
+    # re-pinned (round 2): triples_rows emits kind='event' rows for
+    # every trigger, and M1/X3 now encodes via byte-fallback wordpiece
+    # segmentation + variance-preserving mean-pool
+    frozen = "96eb28da76b570f292b4364a5a06f69bfa91728f76d2dc49f099573a2a7a737a"
     assert digest == frozen, (
         f"kernel decode drifted: {digest} (update the pin only for a "
         f"deliberate semantics change)")
-    assert len(df) == 878
+    assert len(df) == 1072
