@@ -91,3 +91,46 @@ def get_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
     if seed not in _CACHE:
         _CACHE[seed] = build_weights(seed)
     return _CACHE[seed]
+
+
+# --------------------------------------------------------------- S2:
+# the literal model-archive path (ref: AllenNLP load_archive on
+# model.tar.gz from dygie/predictors/dygie.py::DyGIEPredictor). The
+# seeded fixture above is the sandbox default; these functions are
+# the real archive surface — a tar.gz whose single member is an npz
+# of the weight dict — for deployments shipping trained weights. The
+# distribution pattern at scale: save once, `sc.broadcast` the loaded
+# dict (tiny), decode UDFs read the broadcast.
+
+def save_archive(w: dict[str, np.ndarray], path: str) -> None:
+    """Write the weight dict as model.tar.gz (npz member
+    ``weights.npz``). Deterministic member order/metadata so the
+    archive bytes are reproducible."""
+    import io
+    import tarfile
+    buf = io.BytesIO()
+    np.savez(buf, **{k: w[k] for k in sorted(w)})
+    data = buf.getvalue()
+    with tarfile.open(path, "w:gz") as t:
+        info = tarfile.TarInfo("weights.npz")
+        info.size = len(data)
+        info.mtime = 0
+        t.addfile(info, io.BytesIO(data))
+
+
+def load_archive(path: str) -> dict[str, np.ndarray]:
+    """model.tar.gz -> weight dict (float32 arrays)."""
+    import io
+    import tarfile
+    with tarfile.open(path, "r:gz") as t:
+        f = t.extractfile("weights.npz")
+        assert f is not None, "archive has no weights.npz member"
+        npz = np.load(io.BytesIO(f.read()))
+        return {k: npz[k] for k in npz.files}
+
+
+def broadcast_archive(spark, path: str):
+    """Load + sc.broadcast — the J6/S2 executor-side distribution of
+    an actual trained archive (executors index the broadcast instead
+    of re-deriving from a seed)."""
+    return spark.sparkContext.broadcast(load_archive(path))

@@ -48,6 +48,30 @@ def test_weights_deterministic():
         assert w1[k].dtype == np.float32
 
 
+def test_model_archive_roundtrip(tmp_path):
+    """S2: save/load the literal model.tar.gz archive form — loaded
+    weights are bit-identical and decode identically to the fixture."""
+    from dygiepp_spark.kernel.model import triples_rows
+    from dygiepp_spark.kernel.weights import (get_weights, load_archive,
+                                              save_archive)
+    w = get_weights()
+    path = str(tmp_path / "model.tar.gz")
+    save_archive(w, path)
+    loaded = load_archive(path)
+    assert set(loaded) == set(w)
+    for k in w:
+        np.testing.assert_array_equal(loaded[k], w[k])
+        assert loaded[k].dtype == w[k].dtype
+    text = "the fast parser extracts relation spans . it scales out ."
+    assert triples_rows("u", text, loaded) == triples_rows("u", text, w)
+    # deterministic archive bytes (pinned member metadata)
+    path2 = str(tmp_path / "model2.tar.gz")
+    save_archive(w, path2)
+    import gzip
+    assert gzip.decompress(open(path, "rb").read()) \
+        == gzip.decompress(open(path2, "rb").read())
+
+
 def test_fnv1a64_stable():
     # frozen values: token bucketing must never drift between rounds
     assert nn.fnv1a64(b"spark") == 0xB22B3E04D3A1AE23 or True

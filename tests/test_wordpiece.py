@@ -57,6 +57,30 @@ def test_unk_only_for_empty():
     assert wordpiece_ids("") == (UNK_ID,)
 
 
+def test_roundtrip_property_arbitrary_text():
+    """Byte fallback makes segmentation total: every non-empty token
+    reconstructs its lowercased utf-8 bytes from its pieces."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=1, max_size=24))
+    def prop(tok):
+        ids = wordpiece_ids(tok)
+        assert UNK_ID not in ids
+        # reconstruct bytes from display pieces
+        out = b""
+        for i in ids:
+            p = VOCAB[i].removeprefix("##")
+            if p.startswith("<0x") and p.endswith(">") and len(p) == 6:
+                out += bytes([int(p[3:5], 16)])
+            else:
+                out += p.encode("ascii")
+        assert out == tok.lower().encode("utf-8")
+
+    prop()
+
+
 def test_encode_mean_pools_pieces():
     """A token's embedding equals the mean of its piece embeddings."""
     from dygiepp_spark.kernel.weights import get_weights
