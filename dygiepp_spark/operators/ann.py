@@ -131,19 +131,22 @@ def train_ivf_centroids(emb: DataFrame, n_centroids: int = 32,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         seed: int = 42) -> np.ndarray:
-    """Deterministic k-means-lite coarse quantizer: init = evenly
-    spaced vectors in id order; each Lloyd iteration is one
-    assign (narrow pandas UDF) + one groupBy-avg over exploded
+    """Deterministic k-means-lite coarse quantizer: init = the
+    n_centroids rows with the smallest xxhash64(id) — a
+    deterministic pseudo-random sample taken with orderBy+limit
+    (TakeOrdered: per-partition top-k then a driver merge of k-row
+    partials; the previous global row_number window funneled the
+    WHOLE table through one task at scale). Each Lloyd iteration is
+    one assign (narrow pandas UDF) + one groupBy-avg over exploded
     dimensions (the centroid update as a DataFrame aggregation — no
     per-iteration collect of the data, only of the tiny centroid
     table)."""
-    n = emb.count()
-    step = max(n // n_centroids, 1)
-    w = Window.orderBy(id_col)
-    init_rows = (emb.withColumn("_rn", F.row_number().over(w))
-                 .filter(((F.col("_rn") - 1) % step == 0)
-                         & (F.col("_rn") <= step * n_centroids))
-                 .select(vec_col).collect())
+    init_rows = (emb.select(
+        vec_col,
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+        .alias("_h"), F.col(id_col).alias("_id"))
+        .orderBy("_h", "_id").limit(n_centroids)
+        .select(vec_col).collect())
     centroids = np.vstack([np.asarray(r[0], dtype=np.float64)
                            for r in init_rows])[:n_centroids]
 

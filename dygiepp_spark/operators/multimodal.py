@@ -76,6 +76,57 @@ def extract_media_features(media: DataFrame,
             .mapInPandas(fn, FEATURE_SCHEMA))
 
 
+RESIZED_SCHEMA = ("media_id bigint, kind string, payload binary, "
+                  "width int, height int, resize_status string")
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic resize stand-in: output bytes derived from the
+    payload digest + target dims, length proportional to the target
+    area — reproducible batch shapes without a codec."""
+    if payload is None:
+        payload = b""
+    seed = hashlib.sha256(
+        bytes(payload) + f"{w}x{h}".encode()).digest()
+    size = max(16, (w * h) // 256)
+    reps = size // len(seed) + 1
+    return (seed * reps)[:size]
+
+
+def resize_media(media: DataFrame, target_w: int = 224,
+                 target_h: int = 224,
+                 use_fake: bool = True) -> DataFrame:
+    """Image/video resize stage: payload -> resized payload with
+    updated metadata. Narrow mapInPandas (payload flows scan->UDF
+    only, no shuffle); the codec call sits behind the same
+    fake/NotImplementedError seam as feature extraction."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, status = [], []
+            for payload in pdf["payload"]:
+                try:
+                    if not use_fake:
+                        real_decode(payload, "image")
+                    out.append(fake_resize(payload, target_w, target_h))
+                    status.append("ok" if use_fake else "decoded")
+                except NotImplementedError:
+                    out.append(b"")
+                    status.append("stubbed")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": out,
+                "width": target_w,
+                "height": target_h,
+                "resize_status": status,
+            })
+
+    return (media.filter(F.col("kind").isin("image", "video"))
+            .select("media_id", "kind", "payload")
+            .mapInPandas(fn, RESIZED_SCHEMA))
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     index, derived from metadata only — the payload column is never

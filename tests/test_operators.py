@@ -184,6 +184,26 @@ def test_multimodal_features_deterministic(spark):
                for r in f1)
 
 
+def test_multimodal_resize_deterministic_and_narrow(spark):
+    from dygiepp_spark.operators.multimodal import (resize_media,
+                                                    synth_media)
+    media = synth_media(spark, 36)
+    r1 = resize_media(media, 64, 48).orderBy("media_id").collect()
+    r2 = resize_media(media, 64, 48).orderBy("media_id").collect()
+    assert [bytes(r.payload) for r in r1] == \
+           [bytes(r.payload) for r in r2]
+    assert all(r.width == 64 and r.height == 48
+               and r.resize_status == "ok" for r in r1)
+    assert {r.kind for r in r1} == {"image", "video"}  # audio filtered
+    # different target dims -> different payload bytes
+    r3 = resize_media(media, 32, 32).orderBy("media_id").collect()
+    assert bytes(r1[0].payload) != bytes(r3[0].payload)
+    # narrow plan: no shuffle
+    plan = resize_media(media, 64, 48) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_multimodal_frame_plan_prunes_payload(spark):
     from dygiepp_spark.operators.multimodal import (frame_sample_plan,
                                                     synth_media)
