@@ -69,12 +69,17 @@ def _encode(tokens: list[str], w: dict) -> np.ndarray:
     if not tokens:
         emb = np.zeros((0, pe.shape[1]), F32)
     else:
-        pooled = []
+        # pool each DISTINCT token once, then index by occurrence —
+        # crawl text is Zipf-distributed, so this cuts M1's gather+
+        # reduce work by the repeat factor (bit-identical: the same
+        # float ops run once per unique token instead of per use)
+        pooled: dict[str, np.ndarray] = {}
         for t in tokens:
-            pids = wordpiece_ids(t)
-            pooled.append(pe[list(pids)].mean(axis=0)
-                          * np.sqrt(F32(len(pids))))
-        emb = np.vstack(pooled).astype(F32)
+            if t not in pooled:
+                pids = wordpiece_ids(t)
+                pooled[t] = (pe[list(pids)].mean(axis=0)
+                             * np.sqrt(F32(len(pids))))
+        emb = np.vstack([pooled[t] for t in tokens]).astype(F32)
     n, h = emb.shape
     left = np.vstack([np.zeros((1, h), F32), emb[:-1]])
     right = np.vstack([emb[1:], np.zeros((1, h), F32)])

@@ -104,18 +104,27 @@ def get_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
 
 def save_archive(w: dict[str, np.ndarray], path: str) -> None:
     """Write the weight dict as model.tar.gz (npz member
-    ``weights.npz``). Deterministic member order/metadata so the
-    archive bytes are reproducible."""
+    ``weights.npz``). Deterministic down to the FILE BYTES: member
+    metadata is pinned AND the gzip wrapper is written with mtime=0
+    and no embedded filename (a plain ``tarfile.open(path, 'w:gz')``
+    stamps current time + output name into the gzip header, breaking
+    content-addressed workflows)."""
+    import gzip
     import io
     import tarfile
     buf = io.BytesIO()
     np.savez(buf, **{k: w[k] for k in sorted(w)})
     data = buf.getvalue()
-    with tarfile.open(path, "w:gz") as t:
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
         info = tarfile.TarInfo("weights.npz")
         info.size = len(data)
         info.mtime = 0
         t.addfile(info, io.BytesIO(data))
+    with open(path, "wb") as f:
+        with gzip.GzipFile(filename="", fileobj=f, mode="wb",
+                           mtime=0) as gz:
+            gz.write(tbuf.getvalue())
 
 
 def load_archive(path: str) -> dict[str, np.ndarray]:

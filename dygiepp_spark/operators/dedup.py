@@ -51,6 +51,40 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
         ))).otherwise(F.array(F.trim(F.col(text_col))))
 
 
+def _drop_hot_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
+    """Skew guard shared by every shingle join: drop shingles whose
+    document frequency exceeds df_cap (broadcast left-anti — the hot
+    set is tiny by construction) BEFORE any self-join can concentrate
+    on them."""
+    hot = (sh.groupBy("s").agg(F.countDistinct("id").alias("df"))
+           .filter(F.col("df") > df_cap).select("s"))
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
+def verify_jaccard_pairs(cand: DataFrame, shingled: DataFrame,
+                         left_col: str = "id1", right_col: str = "id2",
+                         threshold: float = 0.5,
+                         out_col: str = "jaccard") -> DataFrame:
+    """Candidates-only exact Jaccard — the single blocking-then-verify
+    join used by both document dedup and mention linking.
+
+    cand: (left_col, right_col) candidate pairs.
+    shingled: (id, sh) one row per item with its DISTINCT-shingle
+    ARRAY (never the exploded stream), so verify cost is
+    O(|candidates|) regardless of corpus size."""
+    sa = shingled.select(F.col("id").alias(left_col),
+                         F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias(right_col),
+                         F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (cand.select(left_col, right_col)
+            .join(sa, left_col).join(sb, right_col)
+            .withColumn(out_col, inter * F.lit(1.0) / union)
+            .filter(F.col(out_col) >= threshold)
+            .select(left_col, right_col, out_col))
+
+
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            n_hashes: int = 16, n_bands: int = 4,
@@ -65,9 +99,7 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(word_shingles(text_col)).alias("s"))
     if df_cap is not None:
-        hot = (sh.groupBy("s").agg(F.countDistinct("id").alias("df"))
-               .filter(F.col("df") > df_cap).select("s"))
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        sh = _drop_hot_shingles(sh, df_cap)
     # all k hashes as one projection per shingle row, then k
     # element-wise MIN aggregates in a single groupBy — no k-fold row
     # blowup, one shuffle, full map-side partial aggregation.
@@ -110,9 +142,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(word_shingles(text_col)).alias("s"))
     if df_cap is not None:
-        hot = (sh.groupBy("s").agg(F.countDistinct("id").alias("df"))
-               .filter(F.col("df") > df_cap).select("s"))
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        sh = _drop_hot_shingles(sh, df_cap)
     sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
@@ -137,23 +167,15 @@ def jaccard_verify_candidates(docs: DataFrame, cand: DataFrame,
     (blocking-then-verify; the reverse order is the quadratic blowup
     LSH blocking exists to avoid).
 
-    cand: (id1, id2) pairs, e.g. from minhash_lsh_candidates. Each
-    side of the candidate join brings its distinct-shingle ARRAY (one
-    row per doc, never the exploded stream), so the verify cost is
-    O(|candidates|), independent of corpus size. Same Jaccard values
-    as ngram_jaccard_pairs(df_cap=None) restricted to cand."""
+    cand: (id1, id2) pairs, e.g. from minhash_lsh_candidates. Thin
+    wrapper: shingles the docs, then runs the shared
+    verify_jaccard_pairs join (also used by mention linking). Same
+    Jaccard values as ngram_jaccard_pairs(df_cap=None) restricted to
+    cand."""
     shingled = docs.select(F.col(id_col).alias("id"),
                            word_shingles(text_col).alias("sh"))
-    sa = shingled.select(F.col("id").alias("id1"),
-                         F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("id").alias("id2"),
-                         F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (cand.select("id1", "id2").join(sa, "id1").join(sb, "id2")
-            .withColumn("jaccard", inter * F.lit(1.0) / union)
-            .filter(F.col("jaccard") >= threshold)
-            .select("id1", "id2", "jaccard"))
+    return verify_jaccard_pairs(cand, shingled, "id1", "id2",
+                                threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
@@ -257,15 +279,24 @@ def embedding_near_dups_blocked(emb: DataFrame, id_col: str = "vec_id",
         dim = len(emb.select(vec_col).first()[0])
     bucket_of = _bucket_udf(dim, n_tables, bits, seed)
     b = (emb.withColumn("buckets", bucket_of(F.col(vec_col)))
-         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+         .select(F.col(id_col).alias("id"),
                  F.posexplode("buckets").alias("table", "bucket")))
     x, y = b.alias("x"), b.alias("y")
+    # dedup on the BARE id pair first (16 bytes/row through the
+    # distinct shuffle), then join the two vector sides back — a pair
+    # sharing many buckets would otherwise drag 2*dim floats per
+    # duplicate row through the exchange
     cand = (x.join(y, (F.col("x.table") == F.col("y.table"))
                    & (F.col("x.bucket") == F.col("y.bucket"))
                    & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("id1"), F.col("x.v").alias("v1"),
-                    F.col("y.id").alias("id2"), F.col("y.v").alias("v2"))
-            .dropDuplicates(["id1", "id2"]))
+            .select(F.col("x.id").alias("id1"),
+                    F.col("y.id").alias("id2"))
+            .distinct())
+    va = emb.select(F.col(id_col).alias("id1"),
+                    F.col(vec_col).alias("v1"))
+    vb = emb.select(F.col(id_col).alias("id2"),
+                    F.col(vec_col).alias("v2"))
     cos = _cosine(F.col("v1"), F.col("v2"))
-    return (cand.select("id1", "id2", cos.alias("cosine"))
+    return (cand.join(va, "id1").join(vb, "id2")
+            .select("id1", "id2", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))

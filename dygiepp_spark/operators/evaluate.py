@@ -91,11 +91,13 @@ def prf_table(pred: DataFrame, gold: DataFrame,
                    F.coalesce("tp", F.lit(0)).alias("tp"),
                    F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
                    F.coalesce("n_gold", F.lit(0)).alias("n_gold")))
+    # coalesce: a global sum over zero rows is NULL, and the micro
+    # row must exist with zero counts even on an empty evaluation
     micro = per.select(
         F.lit(_ALL).alias("label"),
-        F.sum("tp").alias("tp"),
-        F.sum("n_pred").alias("n_pred"),
-        F.sum("n_gold").alias("n_gold"))
+        F.coalesce(F.sum("tp"), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("n_pred"), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.sum("n_gold"), F.lit(0)).alias("n_gold"))
     base = per.unionByName(micro)
     p = F.when(F.col("n_pred") > 0,
                F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))

@@ -98,17 +98,14 @@ def lsh_candidate_edges(nodes: DataFrame,
                     F.col("b.gid").alias("dst"))
             .distinct())
 
-    # verify: exact Jaccard on distinct shingle arrays (JVM-side)
-    sa = shingled.select(F.col("gid").alias("src"),
-                         F.col("shingles").alias("sh_a"))
-    sb = shingled.select(F.col("gid").alias("dst"),
-                         F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (cand.join(sa, "src").join(sb, "dst")
-            .withColumn("jaccard", inter * F.lit(1.0) / union)
-            .filter(F.col("jaccard") >= threshold)
-            .select("src", "dst", "jaccard"))
+    # verify: exact Jaccard on distinct shingle arrays — the shared
+    # blocking-then-verify join (operators/dedup.py, also used by
+    # document dedup)
+    from dygiepp_spark.operators.dedup import verify_jaccard_pairs
+    return verify_jaccard_pairs(
+        cand, shingled.select(F.col("gid").alias("id"),
+                              F.col("shingles").alias("sh")),
+        left_col="src", right_col="dst", threshold=threshold)
 
 
 def coref_edges(triples: DataFrame) -> DataFrame:

@@ -93,23 +93,37 @@ def fake_resize(payload: bytes, w: int, h: int) -> bytes:
     return (seed * reps)[:size]
 
 
+def real_resize(payload: bytes, kind: str, w: int,
+                h: int) -> bytes:  # pragma: no cover
+    """The resize codec seam (PIL for images, ffmpeg scale for
+    video); absent in this container."""
+    raise NotImplementedError(
+        "media codecs not available in this environment; "
+        "use fake_resize for deterministic plumbing tests")
+
+
 def resize_media(media: DataFrame, target_w: int = 224,
                  target_h: int = 224,
                  use_fake: bool = True) -> DataFrame:
     """Image/video resize stage: payload -> resized payload with
     updated metadata. Narrow mapInPandas (payload flows scan->UDF
     only, no shuffle); the codec call sits behind the same
-    fake/NotImplementedError seam as feature extraction."""
+    fake/NotImplementedError seam as feature extraction and is
+    dispatched with each row's own kind."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out, status = [], []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 try:
-                    if not use_fake:
-                        real_decode(payload, "image")
-                    out.append(fake_resize(payload, target_w, target_h))
-                    status.append("ok" if use_fake else "decoded")
+                    if use_fake:
+                        out.append(fake_resize(payload, target_w,
+                                               target_h))
+                        status.append("ok")
+                    else:
+                        out.append(real_resize(payload, kind,
+                                               target_w, target_h))
+                        status.append("decoded")
                 except NotImplementedError:
                     out.append(b"")
                     status.append("stubbed")

@@ -3,14 +3,16 @@ from __future__ import annotations
 import os
 import sys
 
+REPO_FOR_PIN = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_FOR_PIN not in sys.path:
+    sys.path.insert(0, REPO_FOR_PIN)
 # BLAS pinning must precede the first numpy import in the test
 # process (not just in executors): the driver-side oracle must run
 # the same single-threaded kernels as the workers or near-tied
-# argmaxes diverge (see dygiepp_spark/__init__.py).
-for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
-           "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS",
-           "VECLIB_MAXIMUM_THREADS"):
-    os.environ.setdefault(_v, "1")
+# argmaxes diverge. The package __init__ owns the pinned variable
+# list — importing it here (before numpy can load) is the single
+# source of truth.
+import dygiepp_spark  # noqa: F401,E402
 
 import pytest
 

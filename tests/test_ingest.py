@@ -101,6 +101,21 @@ def test_prf_table_hand_computed(spark):
     assert allr.precision == allr.recall == round(1 / 3, 6)
 
 
+def test_prf_table_empty_inputs_yield_zero_micro_row(spark):
+    """Empty pred+gold must still produce the __ALL__ row with ZERO
+    counts (a global sum over no rows is NULL without coalesce)."""
+    from dygiepp_spark.operators.evaluate import prf_table
+    schema = "doc_key string, start int, end int, label string"
+    empty = spark.createDataFrame([], schema)
+    rows = prf_table(empty, empty,
+                     ["doc_key", "start", "end", "label"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.label == "__ALL__"
+    assert (r.tp, r.n_pred, r.n_gold) == (0, 0, 0)
+    assert r.precision == 0.0 and r.recall == 0.0 and r.f1 == 0.0
+
+
 def test_evaluate_gold_against_itself_is_perfect(spark):
     """Plumbing check on the ACE fixture: gold evaluated against
     gold must score 1.0 everywhere (spans, labels, grouping)."""

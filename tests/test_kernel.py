@@ -64,12 +64,13 @@ def test_model_archive_roundtrip(tmp_path):
         assert loaded[k].dtype == w[k].dtype
     text = "the fast parser extracts relation spans . it scales out ."
     assert triples_rows("u", text, loaded) == triples_rows("u", text, w)
-    # deterministic archive bytes (pinned member metadata)
+    # deterministic down to the RAW file bytes (pinned tar member
+    # metadata AND gzip header mtime/name), across paths and time
+    import time
+    time.sleep(1.1)  # would change the gzip mtime if it leaked in
     path2 = str(tmp_path / "model2.tar.gz")
     save_archive(w, path2)
-    import gzip
-    assert gzip.decompress(open(path, "rb").read()) \
-        == gzip.decompress(open(path2, "rb").read())
+    assert open(path, "rb").read() == open(path2, "rb").read()
 
 
 def test_fnv1a64_stable():
