@@ -360,6 +360,42 @@ def test_asof_join_preserves_duplicate_left_rows(spark):
     assert ra == rb == [(1, 7), (1, 7), (1, 8)]
 
 
+def test_asof_join_property_random_tables(spark):
+    """Both as-of implementations agree on randomized inputs with
+    duplicate left rows, tied right timestamps, and sparse keys —
+    the regimes where the round-2 duplicate-collapse bug lived."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from dygiepp_spark.operators.asof import asof_join, asof_join_pandas
+
+    row = st.tuples(st.integers(0, 3),            # user_id
+                    st.integers(0, 5000))         # epoch sec
+    lefts = st.lists(row, min_size=1, max_size=12)
+    rights = st.lists(row, min_size=1, max_size=12)
+
+    @settings(max_examples=12, deadline=None)
+    @given(lefts, rights)
+    def prop(ls, rs):
+        left = spark.createDataFrame(
+            [(u, t) for u, t in ls], "user_id int, ts int").select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"))
+        right = spark.createDataFrame(
+            [(u, t, i) for i, (u, t) in enumerate(rs)],
+            "user_id int, ts int, event_id int").select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_id")
+        a = asof_join(left, right, on="user_id", tolerance_sec=1800)
+        b = asof_join_pandas(left, right, on="user_id",
+                             tolerance_sec=1800)
+        ka = sorted((r.user_id, r.ts, r.r_event_id)
+                    for r in a.collect())
+        kb = sorted((r.user_id, r.ts, r.r_event_id)
+                    for r in b.collect())
+        assert ka == kb
+
+    prop()
+
+
 def test_clean_corpus_pipeline(spark, docs):
     from dygiepp_spark.operators.corpus_pipeline import clean_corpus
     # plant 10 exact duplicates with fresh ids
