@@ -59,3 +59,22 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
     if iceberg_available(spark):  # pragma: no cover
         return spark.read.table(target)
     return spark.read.parquet(target)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 64,
+                   sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed managed table (Hive-style layout; Iceberg bucket
+    transform on a real catalog): rows are hash-partitioned into
+    `n_buckets` files per partition ON WRITE, so equi-joins and
+    aggregations on `bucket_cols` between co-bucketed tables run with
+    NO exchange — the shuffle is paid once at write time instead of
+    per query. The pattern for fact/fact joins at crawl scale (e.g.
+    triples ⋈ mentions on url), where neither side broadcasts.
+    Requires saveAsTable (bucket metadata lives in the session
+    catalog)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

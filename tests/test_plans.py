@@ -69,6 +69,54 @@ def test_edges_join_has_no_broadcast_hint(spark):
         "gid2ent side")
 
 
+def test_bucketed_join_avoids_exchange(spark, tmp_path):
+    """Two tables co-bucketed on the join key must join with NO
+    shuffle exchange on either side — the write-once-shuffle-never
+    contract of sources/catalog.py::write_bucketed."""
+    from dygiepp_spark.sources.catalog import write_bucketed
+    # warehouse dir is a static conf — use the session default and
+    # drop the tables afterwards
+    a = spark.range(2000).selectExpr("id as k", "id * 2 as va")
+    b = spark.range(2000).selectExpr("id as k", "id * 3 as vb")
+    write_bucketed(a, "bkt_a", ["k"], n_buckets=8)
+    write_bucketed(b, "bkt_b", ["k"], n_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, (
+            "co-bucketed equi-join must not shuffle")
+        assert joined.count() == 2000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_triples_partition_filter_prunes_scan(spark, tmp_path):
+    """Reading one WARC partition of the triples layout must prune
+    all other partition directories at plan time (the metadata-only
+    resume/reprocess path)."""
+    from dygiepp_spark.operators.extract import TRIPLE_SCHEMA_PART
+    from dygiepp_spark.sources.catalog import write_table
+    rows = [(f"u{i}", "ner", "a", "has_type", "T", 0, 0, -1, -1, 0,
+             0.5, i % 4) for i in range(64)]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA_PART)
+    out = str(tmp_path / "triples")
+    write_table(df, out, partition_by=["partition_id"],
+                mode="overwrite_partitions")
+    got = (spark.read.parquet(out)
+           .filter(F.col("partition_id") == 2))
+    plan = _plan(got)
+    # the partition predicate must be a PartitionFilter on the scan,
+    # not a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "partition_id" in seg
+    assert got.count() == 16
+
+
 def test_whole_stage_codegen_covers_projection(spark):
     from dygiepp_spark.sources.pages import synth_pages
     plan = _plan(synth_pages(spark, "/root/testdata/sf0.001"))
