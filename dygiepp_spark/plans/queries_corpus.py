@@ -130,6 +130,36 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("q_quality_filter", sql="""
+WITH t AS (SELECT doc_id, lang,
+                  string_split_regex(trim(text), '\\s+') AS tk,
+                  length(regexp_replace(text, '\\s', '', 'g')) AS nch
+           FROM documents)
+SELECT doc_id, lang
+FROM t
+WHERE len(tk) >= 16
+  AND len(list_filter(tk, x -> x IN ('the', 'a', 'an'))) * 1.0
+      / len(tk) <= 0.5
+  AND nch * 1.0 / len(tk) >= 2.0
+ORDER BY doc_id
+""")
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning funnel's quality gate (operators/
+    corpus_pipeline.clean_corpus stage 1) as an oracle twin — the
+    survivor set is pinned value-identical cross-engine with the
+    funnel's exact default thresholds."""
+    tk = _toks()
+    n = F.size(tk)
+    stop = F.size(F.filter(tk, lambda x: x.isin("the", "a", "an")))
+    nch = F.length(F.regexp_replace("text", r"\s", ""))
+    return (_docs(spark, sf_dir)
+            .filter((n >= 16)
+                    & (stop * F.lit(1.0) / n <= 0.5)
+                    & (nch * F.lit(1.0) / n >= 2.0))
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
 @register("q_langid_heuristic", sql="""
 WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tk
            FROM documents)
