@@ -28,6 +28,10 @@ PROP_ITERS = 2              # graph-propagation iterations T
 
 # --- tokenizer (deterministic, SQL-mirrorable; SURVEY.md §2.7 X2) ---
 SENT_CHUNK = 16             # max tokens per sentence (fallback split)
+MAX_DOC_TOKENS = 20_000     # per-document decode cap (straggler guard:
+                            # a pathological multi-hundred-k-token page
+                            # must not pin one task for minutes; ~10s
+                            # worst-case at measured single-core rate)
 SENT_PUNCT = (".", "!", "?")
 
 # --- model dims (fixture-scale) ---

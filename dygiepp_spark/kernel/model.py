@@ -164,11 +164,33 @@ def _propagate(g: np.ndarray, mention_scores: np.ndarray,
     return g, best, best_sc
 
 
+def capped_sentences(text: str) -> list[list[str]]:
+    """doc_to_sentences truncated to C.MAX_DOC_TOKENS tokens
+    (whole-sentence granularity; the boundary sentence is cut). The
+    straggler guard for pathological pages: decode latency is linear
+    in tokens, so one multi-hundred-k-token page would otherwise pin
+    a single task for minutes. Shared by decode and triple emission
+    so Spark and the oracle stay in exact parity."""
+    sentences = doc_to_sentences(text)
+    out: list[list[str]] = []
+    total = 0
+    for s in sentences:
+        if total + len(s) <= C.MAX_DOC_TOKENS:
+            out.append(s)
+            total += len(s)
+        else:
+            rem = C.MAX_DOC_TOKENS - total
+            if rem > 0:
+                out.append(s[:rem])
+            break
+    return out
+
+
 def decode_document(url: str, text: str, w: dict) -> dict:
     """Full forward + decode for one document. Returns dict of plain
     lists (JSON-able), mirroring the predicted_* fields of SURVEY.md
     §1.1 plus flat triple provenance."""
-    sentences = doc_to_sentences(text)
+    sentences = capped_sentences(text)
     tokens = [t for s in sentences for t in s]
     n = len(tokens)
     out = {
@@ -339,7 +361,7 @@ def triples_rows(url: str, text: str, w: dict) -> list[tuple]:
     (ref:dygie/models/events.py::EventExtractor decode; SURVEY §1.1).
     """
     out = decode_document(url, text, w)
-    tokens = [t for s in doc_to_sentences(text) for t in s]
+    tokens = [t for s in capped_sentences(text) for t in s]
     rows: list[tuple] = []
     for sid, s, e, lab, score in out["mentions"]:
         rows.append((url, "ner", span_text(tokens, s, e), "has_type", lab,

@@ -140,6 +140,23 @@ def test_long_document_bounded_memory(sf_docs):
     assert len(r1) > 100 and r1 == r2
 
 
+def test_doc_token_cap_bounds_decode(sf_docs):
+    """Straggler guard: decoding a doc longer than MAX_DOC_TOKENS
+    equals decoding its first MAX_DOC_TOKENS tokens exactly."""
+    from dygiepp_spark import config as C
+    from dygiepp_spark.kernel.model import capped_sentences
+    w = get_weights()
+    base = " ".join(t for _u, t in sf_docs)          # ~30k tokens
+    long_text = base + " " + base
+    capped = capped_sentences(long_text)
+    n = sum(len(s) for s in capped)
+    assert n == C.MAX_DOC_TOKENS
+    truncated_text = " ".join(t for s in capped for t in s)
+    a = triples_rows("L", long_text, w)
+    b = triples_rows("L", truncated_text, w)
+    assert a == b and len(a) > 100
+
+
 def test_golden_decode_hash(sf_docs):
     """Frozen golden: kernel drift between rounds is a fail (regenerate
     deliberately if semantics change — this guards *accidental* drift).
