@@ -31,13 +31,14 @@ Stage map (reference anchors in SURVEY.md §2.8):
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 
 from dygiepp_spark import config as C
 from dygiepp_spark.kernel import nn
 from dygiepp_spark.kernel.spans import enumerate_spans, width_buckets
-from dygiepp_spark.kernel.tokenize import doc_to_sentences
+from dygiepp_spark.kernel.tokenize import split_sentences
 
 F32 = np.float32
 ANTECEDENT_WINDOW = 50  # top-K antecedent cap (ref coref max_antecedents)
@@ -164,37 +165,41 @@ def _propagate(g: np.ndarray, mention_scores: np.ndarray,
     return g, best, best_sc
 
 
-def capped_sentences(text: str) -> list[list[str]]:
-    """doc_to_sentences truncated to C.MAX_DOC_TOKENS tokens
-    (whole-sentence granularity; the boundary sentence is cut). The
+_TOK_RE = re.compile(r"\S+")
+
+
+def capped_sentences(text: str) -> tuple[list[list[str]], bool]:
+    """Sentence split truncated to C.MAX_DOC_TOKENS tokens. The
     straggler guard for pathological pages: decode latency is linear
     in tokens, so one multi-hundred-k-token page would otherwise pin
-    a single task for minutes. Shared by decode and triple emission
-    so Spark and the oracle stay in exact parity."""
-    sentences = doc_to_sentences(text)
-    out: list[list[str]] = []
-    total = 0
-    for s in sentences:
-        if total + len(s) <= C.MAX_DOC_TOKENS:
-            out.append(s)
-            total += len(s)
-        else:
-            rem = C.MAX_DOC_TOKENS - total
-            if rem > 0:
-                out.append(s[:rem])
+    a single task for minutes. Tokenization itself is lazy
+    (finditer + early exit), so the guard is O(cap) even on a 100 MB
+    page — a full-text split would itself be the straggler. Token
+    stream is identical to kernel.tokenize.tokenize (maximal
+    non-whitespace runs). Shared by decode and triple emission so
+    Spark and the oracle stay in exact parity.
+
+    Returns (sentences, truncated)."""
+    toks: list[str] = []
+    truncated = False
+    for m in _TOK_RE.finditer(text or ""):
+        if len(toks) >= C.MAX_DOC_TOKENS:
+            truncated = True
             break
-    return out
+        toks.append(m.group(0))
+    return split_sentences(toks), truncated
 
 
 def decode_document(url: str, text: str, w: dict) -> dict:
     """Full forward + decode for one document. Returns dict of plain
     lists (JSON-able), mirroring the predicted_* fields of SURVEY.md
     §1.1 plus flat triple provenance."""
-    sentences = capped_sentences(text)
+    sentences, truncated = capped_sentences(text)
     tokens = [t for s in sentences for t in s]
     n = len(tokens)
     out = {
         "url": url, "n_tokens": n, "n_spans": 0,
+        "sentences": sentences, "truncated": truncated,
         "mentions": [], "relations": [], "triggers": [],
         "args": [], "coref_links": [],
     }
@@ -347,7 +352,8 @@ def span_text(tokens: list[str], start: int, end: int) -> str:
     return " ".join(tokens[start:end + 1])
 
 
-def triples_rows(url: str, text: str, w: dict) -> list[tuple]:
+def triples_rows(url: str, text: str, w: dict,
+                 meta: dict | None = None) -> list[tuple]:
     """Decode + §2.9 triple emission. Row shape (the wide `triples`
     schema of FIXTURES.md §3 + sent_id):
     (url, kind, subj, pred, obj,
@@ -359,9 +365,14 @@ def triples_rows(url: str, text: str, w: dict) -> list[tuple]:
     reference's `predicted_events` surface, whose [trigger_tok,
     event_type] entry exists even for argument-less events
     (ref:dygie/models/events.py::EventExtractor decode; SURVEY §1.1).
+
+    `meta`, when passed, receives {"truncated": bool} — the caller's
+    hook for counting MAX_DOC_TOKENS cuts (lineage observability).
     """
     out = decode_document(url, text, w)
-    tokens = [t for s in capped_sentences(text) for t in s]
+    if meta is not None:
+        meta["truncated"] = out["truncated"]
+    tokens = [t for s in out["sentences"] for t in s]
     rows: list[tuple] = []
     for sid, s, e, lab, score in out["mentions"]:
         rows.append((url, "ner", span_text(tokens, s, e), "has_type", lab,

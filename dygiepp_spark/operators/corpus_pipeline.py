@@ -29,6 +29,23 @@ from dygiepp_spark.operators.dedup import (dedup_exact,
                                            minhash_lsh_candidates)
 
 
+def quality_predicate(text_col: str = "text",
+                      min_tokens: int = 16,
+                      max_stop_ratio: float = 0.5,
+                      min_avg_tok_len: float = 2.0):
+    """The quality-gate Column shared by the funnel and its oracle
+    twin (plans/queries_corpus.q_quality_filter) — one definition, so
+    a threshold or stopword-list change cannot silently diverge the
+    pinned cross-engine survivor set from the pipeline."""
+    tk = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(tk)
+    stop = F.size(F.filter(tk, lambda x: x.isin("the", "a", "an")))
+    nch = F.length(F.regexp_replace(text_col, r"\s", ""))
+    return ((n_tok >= min_tokens)
+            & (stop * F.lit(1.0) / n_tok <= max_stop_ratio)
+            & (nch * F.lit(1.0) / n_tok >= min_avg_tok_len))
+
+
 def clean_corpus(docs: DataFrame,
                  min_tokens: int = 16,
                  max_stop_ratio: float = 0.5,
@@ -39,14 +56,8 @@ def clean_corpus(docs: DataFrame,
                  text_col: str = "text") -> tuple[DataFrame, dict]:
     n0 = docs.count()
 
-    tk = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_tok = F.size(tk)
-    stop = F.size(F.filter(tk, lambda x: x.isin("the", "a", "an")))
-    nch = F.length(F.regexp_replace(text_col, r"\s", ""))
-    quality = docs.filter(
-        (n_tok >= min_tokens)
-        & (stop * F.lit(1.0) / n_tok <= max_stop_ratio)
-        & (nch * F.lit(1.0) / n_tok >= min_avg_tok_len))
+    quality = docs.filter(quality_predicate(
+        text_col, min_tokens, max_stop_ratio, min_avg_tok_len))
     if langs is not None:
         quality = quality.filter(F.col("lang").isin(*langs))
     quality = quality.localCheckpoint(eager=True)

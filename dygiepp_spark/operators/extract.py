@@ -36,17 +36,18 @@ _COLS = ["url", "kind", "subj", "pred", "obj", "subj_start", "subj_end",
 
 
 class _PartitionTimingParam:
-    """AccumulatorParam merging {partition_id: (n_docs, secs)} —
-    the A5 per-WARC-partition docs/sec metric, measured where the work
-    happens (inside the decode UDF) instead of inferred globally."""
+    """AccumulatorParam merging {partition_id: (n_docs, secs,
+    n_truncated)} — the A5 per-WARC-partition docs/sec metric plus
+    the MAX_DOC_TOKENS cut count, measured where the work happens
+    (inside the decode UDF) instead of inferred globally."""
 
     def zero(self, value):
         return {}
 
     def addInPlace(self, a, b):
-        for k, (n, s) in b.items():
-            n0, s0 = a.get(k, (0, 0.0))
-            a[k] = (n0 + n, s0 + s)
+        for k, (n, s, t) in b.items():
+            n0, s0, t0 = a.get(k, (0, 0.0, 0))
+            a[k] = (n0 + n, s0 + s, t0 + t)
         return a
 
 
@@ -64,21 +65,23 @@ def _decode_batches(batches: Iterator[pd.DataFrame],
     cols = _COLS + (["partition_id"] if with_partition else [])
     for pdf in batches:
         rows: list[tuple] = []
-        timing: dict[int, tuple[int, float]] = {}
+        timing: dict[int, tuple[int, float, int]] = {}
         if from_html:
             texts = [extract_text(h) for h in pdf["html"]]
         else:
             texts = [t if t is not None else "" for t in pdf["text"]]
         pids = pdf["partition_id"] if with_partition else None
+        meta: dict = {}
         for i, (url, text) in enumerate(zip(pdf["url"], texts)):
             t0 = _time.perf_counter()
-            doc_rows = triples_rows(url, text, w)
+            doc_rows = triples_rows(url, text, w, meta=meta)
             dt = _time.perf_counter() - t0
             if with_partition:
                 pid = int(pids.iloc[i])
                 rows.extend(r + (pid,) for r in doc_rows)
-                n0, s0 = timing.get(pid, (0, 0.0))
-                timing[pid] = (n0 + 1, s0 + dt)
+                n0, s0, tr0 = timing.get(pid, (0, 0.0, 0))
+                timing[pid] = (n0 + 1, s0 + dt,
+                               tr0 + int(meta.get("truncated", False)))
             else:
                 rows.extend(doc_rows)
         if timing_acc is not None and timing:
@@ -119,9 +122,11 @@ def extract_triples_with_metrics(pages: DataFrame,
                                  from_html: bool = True):
     """Like extract_triples(with_partition=True) but also returns a
     per-partition timing accumulator: after an action on the returned
-    DataFrame, `acc.value` is {partition_id: (n_docs, decode_secs)} —
-    measured inside the UDF, the honest A5 docs/sec per WARC partition.
-    Returns (triples_df, accumulator)."""
+    DataFrame, `acc.value` is {partition_id: (n_docs, decode_secs,
+    n_truncated)} — measured inside the UDF, the honest A5 docs/sec
+    per WARC partition, plus the count of documents cut at
+    MAX_DOC_TOKENS (a silent cut would be undebuggable at crawl
+    scale). Returns (triples_df, accumulator)."""
     spark = pages.sparkSession
     acc = spark.sparkContext.accumulator({}, _PartitionTimingParam())
     in_cols = ["url", "html" if from_html else "text", "partition_id"]

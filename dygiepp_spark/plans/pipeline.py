@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from dygiepp_spark import config as C
 
 LINEAGE_SCHEMA = ("partition_id int, n_docs bigint, n_triples bigint, "
-                  "docs_per_sec double, status string, run_id string")
+                  "docs_per_sec double, n_truncated bigint, "
+                  "status string, run_id string")
 
 
 def _lineage_path(out_dir: str) -> str:
@@ -102,11 +103,14 @@ def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
     # falls back to the run-level rate for partitions with no sample
     per_part = timing_acc.value or {}
     def _rate(pid: int) -> float:
-        n, s = per_part.get(pid, (0, 0.0))
+        n, s, _t = per_part.get(pid, (0, 0.0, 0))
         return (n / s) if s > 0 else docs_per_sec
+    def _trunc(pid: int) -> int:
+        return per_part.get(pid, (0, 0.0, 0))[2]
     lineage_rows = [
         (int(r.partition_id), int(r.n_docs), int(r.n_triples),
-         float(_rate(int(r.partition_id))), "done", run_id)
+         float(_rate(int(r.partition_id))),
+         int(_trunc(int(r.partition_id))), "done", run_id)
         for r in stats
     ]
     from dygiepp_spark.sources.catalog import write_table as _wt

@@ -146,16 +146,11 @@ ORDER BY doc_id
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-cleaning funnel's quality gate (operators/
     corpus_pipeline.clean_corpus stage 1) as an oracle twin — the
-    survivor set is pinned value-identical cross-engine with the
-    funnel's exact default thresholds."""
-    tk = _toks()
-    n = F.size(tk)
-    stop = F.size(F.filter(tk, lambda x: x.isin("the", "a", "an")))
-    nch = F.length(F.regexp_replace("text", r"\s", ""))
+    SAME quality_predicate the funnel applies, so the pinned
+    cross-engine survivor set cannot diverge from the pipeline."""
+    from dygiepp_spark.operators.corpus_pipeline import quality_predicate
     return (_docs(spark, sf_dir)
-            .filter((n >= 16)
-                    & (stop * F.lit(1.0) / n <= 0.5)
-                    & (nch * F.lit(1.0) / n >= 2.0))
+            .filter(quality_predicate())
             .select("doc_id", "lang")
             .orderBy("doc_id"))
 

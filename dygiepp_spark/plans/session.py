@@ -124,3 +124,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+def bootstrap_session(app_name: str) -> SparkSession:
+    """Entrypoint session acquisition shared by jobs/*: reuse the
+    spark-submit-provided session (tuning only semantics-bearing
+    conf) or build the local fallback. One definition so all submit
+    paths stay in sync."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        tune_session(active)
+        return active
+    spark = get_spark(app_name=app_name)
+    ensure_pyfiles(spark)
+    return spark

@@ -73,7 +73,20 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     per query. The pattern for fact/fact joins at crawl scale (e.g.
     triples ⋈ mentions on url), where neither side broadcasts.
     Requires saveAsTable (bucket metadata lives in the session
-    catalog)."""
+    catalog). On an Iceberg catalog this becomes the bucket()
+    partition transform — same no-exchange co-located join contract,
+    Iceberg's storage-partitioned-join path."""
+    spark = df.sparkSession
+    if iceberg_available(spark):  # pragma: no cover - no jar in sandbox
+        from pyspark.sql import functions as F
+        transforms = [F.bucket(n_buckets, F.col(bucket_cols[0]))] + \
+            [F.col(c) for c in bucket_cols[1:]]
+        writer = df.writeTo(table).partitionedBy(*transforms)
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+        return
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--min-tokens", type=int, default=16)
     ap.add_argument("--max-stop-ratio", type=float, default=0.5)
+    ap.add_argument("--min-avg-tok-len", type=float, default=2.0)
     ap.add_argument("--langs", default=None,
                     help="comma-separated allow-list; omit = keep all")
     ap.add_argument("--near-dup-jaccard", type=float, default=0.9)
@@ -35,16 +36,8 @@ def main() -> None:
     if repo not in sys.path:
         sys.path.insert(0, repo)
 
-    from pyspark.sql import SparkSession
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        spark = active
-        from dygiepp_spark.plans.session import tune_session
-        tune_session(spark)
-    else:
-        from dygiepp_spark.plans.session import ensure_pyfiles, get_spark
-        spark = get_spark(app_name="clean-corpus")
-        ensure_pyfiles(spark)
+    from dygiepp_spark.plans.session import bootstrap_session
+    spark = bootstrap_session("clean-corpus")
 
     from dygiepp_spark.operators.corpus_pipeline import clean_corpus
     docs = spark.read.parquet(args.in_path)
@@ -52,6 +45,7 @@ def main() -> None:
     clean, stats = clean_corpus(
         docs, min_tokens=args.min_tokens,
         max_stop_ratio=args.max_stop_ratio,
+        min_avg_tok_len=args.min_avg_tok_len,
         langs=langs, near_dup_jaccard=args.near_dup_jaccard)
     clean.write.mode("overwrite").parquet(args.out)
     print(json.dumps(stats))

@@ -35,16 +35,8 @@ def main() -> None:
     if repo not in sys.path:
         sys.path.insert(0, repo)
 
-    from pyspark.sql import SparkSession
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        spark = active
-        from dygiepp_spark.plans.session import tune_session
-        tune_session(spark)
-    else:
-        from dygiepp_spark.plans.session import ensure_pyfiles, get_spark
-        spark = get_spark(app_name="kg-construct")
-        ensure_pyfiles(spark)
+    from dygiepp_spark.plans.session import bootstrap_session
+    spark = bootstrap_session("kg-construct")
 
     from dygiepp_spark.plans.pipeline import run_kg
     metrics = run_kg(spark, args.sf_dir, args.out,

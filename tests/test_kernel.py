@@ -148,13 +148,24 @@ def test_doc_token_cap_bounds_decode(sf_docs):
     w = get_weights()
     base = " ".join(t for _u, t in sf_docs)          # ~30k tokens
     long_text = base + " " + base
-    capped = capped_sentences(long_text)
+    capped, was_cut = capped_sentences(long_text)
+    assert was_cut is True
     n = sum(len(s) for s in capped)
     assert n == C.MAX_DOC_TOKENS
     truncated_text = " ".join(t for s in capped for t in s)
-    a = triples_rows("L", long_text, w)
+    meta_a: dict = {}
+    a = triples_rows("L", long_text, w, meta=meta_a)
     b = triples_rows("L", truncated_text, w)
     assert a == b and len(a) > 100
+    assert meta_a["truncated"] is True
+    # short docs are not flagged
+    meta_s: dict = {}
+    triples_rows("S", sf_docs[0][1], w, meta=meta_s)
+    assert meta_s["truncated"] is False
+    # and the un-truncated capped split equals the plain splitter
+    from dygiepp_spark.kernel.tokenize import doc_to_sentences
+    ss, cut = capped_sentences(sf_docs[0][1])
+    assert cut is False and ss == doc_to_sentences(sf_docs[0][1])
 
 
 def test_golden_decode_hash(sf_docs):

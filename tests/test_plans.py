@@ -73,16 +73,20 @@ def test_bucketed_join_avoids_exchange(spark, tmp_path):
     """Two tables co-bucketed on the join key must join with NO
     shuffle exchange on either side — the write-once-shuffle-never
     contract of sources/catalog.py::write_bucketed."""
+    import uuid
     from dygiepp_spark.sources.catalog import write_bucketed
-    # warehouse dir is a static conf — use the session default and
-    # drop the tables afterwards
+    # warehouse dir is a static conf — use the session default but
+    # UNIQUE table names, so a killed run's leftover directory can
+    # never collide with a later run's CTAS
+    ta = f"bkt_a_{uuid.uuid4().hex[:8]}"
+    tb = f"bkt_b_{uuid.uuid4().hex[:8]}"
     a = spark.range(2000).selectExpr("id as k", "id * 2 as va")
     b = spark.range(2000).selectExpr("id as k", "id * 3 as vb")
-    write_bucketed(a, "bkt_a", ["k"], n_buckets=8)
-    write_bucketed(b, "bkt_b", ["k"], n_buckets=8)
+    write_bucketed(a, ta, ["k"], n_buckets=8)
+    write_bucketed(b, tb, ["k"], n_buckets=8)
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        joined = spark.table(ta).join(spark.table(tb), "k")
         plan = _plan(joined)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, (
@@ -90,8 +94,8 @@ def test_bucketed_join_avoids_exchange(spark, tmp_path):
         assert joined.count() == 2000
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.sql("DROP TABLE IF EXISTS bkt_a")
-        spark.sql("DROP TABLE IF EXISTS bkt_b")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
 
 
 def test_triples_partition_filter_prunes_scan(spark, tmp_path):
