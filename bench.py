@@ -54,6 +54,12 @@ def _op_benches(spark, sf_dir: str) -> dict:
         "op_minhash_lsh": lambda: dedup.minhash_lsh_candidates(
             docs, df_cap=200).count(),
         "op_simhash": lambda: dedup.simhash(docs).count(),
+        # pigeonhole-blocked near-pairs at the sf0.1-appropriate
+        # operating point: d=1 -> 2 disjoint 8-bit blocks (the 16-bit
+        # fixture fingerprint keeps d=3's 4-bit blocks too coarse at
+        # 50k docs; a real 64-bit simhash uses 16-bit blocks at d=3)
+        "op_simhash_blocked": lambda: dedup.simhash_near_pairs_blocked(
+            docs, max_hamming=1).count(),
         "op_ann_bruteforce": lambda: ann.brute_force_topk(
             emb, queries, k=10).count(),
         "op_ann_lsh": lambda: ann.lsh_topk(

@@ -36,6 +36,11 @@ SENT_PUNCT = (".", "!", "?")
 
 # --- model dims (fixture-scale) ---
 HIDDEN = 32                 # token embedding / contextual dim H
+ATTN_WINDOW = 64            # sliding-window self-attention span (the
+                            # BERT-style max_length chunk of the
+                            # reference's transformer embedder — long
+                            # documents are encoded window-by-window)
+ATTN_HEADS = 4              # attention heads (HIDDEN % ATTN_HEADS == 0)
 WIDTH_BUCKETS = 8           # span-width embedding buckets
 WIDTH_DIM = 8               # span-width embedding dim
 FFN_HIDDEN = 32             # feedforward hidden dim

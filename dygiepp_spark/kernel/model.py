@@ -54,17 +54,19 @@ PAIR_BLOCK = 768     # max pruned spans per sentence-group for M7/M9
 
 
 def _encode(tokens: list[str], w: dict) -> np.ndarray:
-    """M1 + X3: wordpiece token encoding + 3-gram contextual mixer.
-    Each token is greedily segmented into wordpieces (kernel/
-    wordpiece.py — the BERT algorithm with byte fallback over a
-    pinned vocab) and its embedding is the VARIANCE-PRESERVING mean
+    """M1 + X3: wordpiece token encoding + sliding-window multi-head
+    self-attention. Each token is greedily segmented into wordpieces
+    (kernel/wordpiece.py — the BERT algorithm with byte fallback over
+    a pinned vocab) and its embedding is the VARIANCE-PRESERVING mean
     of its piece embeddings (mean * sqrt(k): a plain mean shrinks
     embedding variance by 1/k, which at fixed null-bias weights
     collapses decode sparsity for many-piece tokens) — the
     reference's wordpiece->word alignment (SURVEY §2.7 X3, AllenNLP
-    mismatched indexer/embedder). Document-level context (crosses
-    sentence boundaries, the paper's cross-sentence encoding
-    [PAPER])."""
+    mismatched indexer/embedder). Context then comes from
+    _self_attend: BERT-style windowed attention (replaces the round-2
+    3-gram mixer; crosses sentence boundaries within a window — the
+    paper's cross-sentence encoding [PAPER], SURVEY §2.8 M1 /
+    ref:DyGIE.forward transformer embedder)."""
     from dygiepp_spark.kernel.wordpiece import wordpiece_ids
     pe = w["piece_emb"]
     if not tokens:
@@ -81,11 +83,61 @@ def _encode(tokens: list[str], w: dict) -> np.ndarray:
                 pooled[t] = (pe[list(pids)].mean(axis=0)
                              * np.sqrt(F32(len(pids))))
         emb = np.vstack([pooled[t] for t in tokens]).astype(F32)
+    return _self_attend(emb, w)
+
+
+def _self_attend(emb: np.ndarray, w: dict) -> np.ndarray:
+    """Sliding-window multi-head self-attention encoder (M1): the
+    token stream is chunked into non-overlapping C.ATTN_WINDOW-token
+    windows (the BERT max_length convention the reference's mismatched
+    transformer embedder applies to long documents); within each
+    window: learned position embedding + scaled-dot-product attention
+    over C.ATTN_HEADS heads + residual + tanh FFN. All windows are
+    batched into ONE set of [n_win, heads, W, *] matmuls, so
+    per-document cost is O(n · W · H) with bounded peak memory —
+    a 20k-token page is 313 windows, ~20 MB of scores.
+
+    Simplifications vs a full transformer (documented seam, same
+    _encode signature the TorchScript swap replaces): one layer,
+    no LayerNorm (the tanh FFN bounds activations — matching the
+    round-2 encoder's output distribution so the fixed null-bias
+    decode calibration carries over), no cross-window attention.
+    Deterministic: float32, fixed reduction order, window boundaries
+    depend only on token positions — identical across partitionings.
+    """
     n, h = emb.shape
-    left = np.vstack([np.zeros((1, h), F32), emb[:-1]])
-    right = np.vstack([emb[1:], np.zeros((1, h), F32)])
-    ctx = np.concatenate([left, emb, right], axis=1)          # [n, 3H]
-    return np.tanh(ctx @ w["ctx_w"] + w["ctx_b"]).astype(F32)
+    if n == 0:
+        return emb
+    win = C.ATTN_WINDOW
+    heads = C.ATTN_HEADS
+    hd = h // heads
+    n_win = -(-n // win)
+    pad = n_win * win - n
+    x = emb if pad == 0 else np.vstack(
+        [emb, np.zeros((pad, h), F32)])
+    x = (x.reshape(n_win, win, h)
+         + w["pos_emb"][None, :, :]).astype(F32)
+
+    def split(m: np.ndarray) -> np.ndarray:
+        # [n_win, W, h] -> [n_win, heads, W, hd]
+        return m.reshape(n_win, win, heads, hd).transpose(0, 2, 1, 3)
+
+    q = split(x @ w["attn_q"])
+    k = split(x @ w["attn_k"])
+    v = split(x @ w["attn_v"])
+    sc = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(F32(hd))
+    if pad:
+        # mask padded KEY positions (only the last window has any);
+        # padded query rows are sliced away below
+        key_pad = np.zeros(n_win * win, dtype=bool)
+        key_pad[n:] = True
+        key_pad = key_pad.reshape(n_win, win)
+        sc = np.where(key_pad[:, None, None, :], F32(-1e9), sc)
+    p = nn.softmax(sc, axis=-1)                # [n_win, heads, W, W]
+    a = (p @ v).transpose(0, 2, 1, 3).reshape(n_win, win, h)
+    h1 = (x + a @ w["attn_o"]).astype(F32)
+    out = np.tanh(h1 @ w["attn_f"] + w["attn_fb"]).astype(F32)
+    return out.reshape(n_win * win, h)[:n]
 
 
 def _beam_keep(scores: np.ndarray, starts: np.ndarray, ends: np.ndarray,

@@ -40,7 +40,9 @@ def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
     L_trig, L_arg = len(C.TRIGGER_LABELS), len(C.ARG_LABELS)
 
     w = {
-        # token embedding + 3-gram contextualizer (M1 stand-in)
+        # round-1 token embedding + 3-gram contextualizer — RETAINED
+        # IN THE DRAW ORDER (unused since the round-3 attention
+        # encoder) so every later matrix keeps its pinned values
         "tok_emb": mat(C.VOCAB_BUCKETS, H),
         "ctx_w": mat(3 * H, H),
         "ctx_b": np.zeros(H, dtype=F32),
@@ -74,6 +76,17 @@ def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
     # per piece of the pinned wordpiece vocab
     from dygiepp_spark.kernel.wordpiece import VOCAB as WP_VOCAB
     w["piece_emb"] = mat(len(WP_VOCAB), H)
+    # sliding-window multi-head self-attention encoder (M1) — appended
+    # after piece_emb (round-3 draws; earlier matrices keep their
+    # values). Position embedding per within-window offset + Q/K/V/
+    # output projections + the post-attention tanh FFN.
+    w["pos_emb"] = mat(C.ATTN_WINDOW, H)
+    w["attn_q"] = mat(H, H)
+    w["attn_k"] = mat(H, H)
+    w["attn_v"] = mat(H, H)
+    w["attn_o"] = mat(H, H)
+    w["attn_f"] = mat(H, H)
+    w["attn_fb"] = np.zeros(H, dtype=F32)
     w["ner_b"][0] = F32(NULL_BIAS_NER)
     w["rel_b"][0] = F32(NULL_BIAS_REL)
     w["t_b2"][0] = F32(NULL_BIAS_TRIG)

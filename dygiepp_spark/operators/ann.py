@@ -88,19 +88,27 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     bucket_of = _bucket_udf(dim, n_tables, bits, seed)
 
     e_b = (emb.withColumn("buckets", bucket_of(F.col(vec_col)))
-           .select(id_col, vec_col,
+           .select(id_col,
                    F.posexplode("buckets").alias("table", "bucket")))
     q_b = (queries.withColumn("buckets", bucket_of(F.col("qv")))
-           .select("query_id", "qv",
+           .select("query_id",
                    F.posexplode("buckets").alias("table", "bucket")))
 
+    # dedup on the BARE (query_id, vec_id) pair first (16 bytes/row
+    # through the distinct shuffle), then re-join both vector sides —
+    # a pair sharing many buckets would otherwise drag qv + v (2*dim
+    # doubles) per duplicate row through the exchange (same pattern as
+    # dedup.embedding_near_dups_blocked)
     cand = (e_b.join(q_b, ["table", "bucket"])
             .filter(F.col("query_id") != F.col(id_col))
-            .select("query_id", "qv", F.col(id_col).alias("vec_id"),
+            .select("query_id", F.col(id_col).alias("vec_id"))
+            .distinct())
+    qv = queries.select("query_id", "qv")
+    vv = emb.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).alias("v"))
-            .dropDuplicates(["query_id", "vec_id"]))
-    scored = cand.select("query_id", "vec_id",
-                         _cosine(F.col("qv"), F.col("v")).alias("cos"))
+    scored = (cand.join(qv, "query_id").join(vv, "vec_id")
+              .select("query_id", "vec_id",
+                      _cosine(F.col("qv"), F.col("v")).alias("cos")))
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("vec_id").asc())
     return (scored.withColumn("rn", F.row_number().over(w).cast("int"))

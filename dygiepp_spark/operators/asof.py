@@ -35,9 +35,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     The rank-1 window partitions on a synthetic per-row key, not the
     left columns: two fully identical left rows each keep their own
     match (same multiplicity contract as asof_join_pandas /
-    pd.merge_asof), instead of silently collapsing to one."""
-    l = left.withColumn("_l_uid", F.monotonically_increasing_id()) \
-        .alias("l")
+    pd.merge_asof), instead of silently collapsing to one.
+
+    The per-row key is DETERMINISTIC: (all left columns, ordinal
+    within identical duplicates). monotonically_increasing_id() here
+    would be recomputed with different values if a task retry or
+    speculative re-execution re-ran the left subtree mid-query,
+    duplicating or dropping matches; identical rows are
+    interchangeable, so ordinal assignment among them never changes
+    the result set. Costs one extra shuffle of the left side — paid
+    only once, and only the left's own columns travel."""
+    w_dup = Window.partitionBy(*[F.col(c) for c in left.columns]) \
+        .orderBy(F.lit(1))
+    l = left.withColumn("_l_ord", F.row_number().over(w_dup)).alias("l")
     r = right.alias("r")
     lts = F.col(f"l.{left_ts}")
     rts = F.col(f"r.{right_ts}")
@@ -47,7 +57,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         cond = cond & (rts >= lts - F.expr(
             f"INTERVAL {tolerance_sec} SECOND"))
     joined = l.join(r, cond)
-    w = Window.partitionBy(F.col("l._l_uid")) \
+    w = Window.partitionBy(
+        *[F.col(f"l.{c}") for c in left.columns], F.col("l._l_ord")) \
         .orderBy(rts.desc(), F.col(f"r.{right_id}").desc())
     out_cols = [F.col(f"l.{c}").alias(c) for c in left.columns] + \
                [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]

@@ -127,16 +127,19 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         threshold: float = 0.5,
-                        df_cap: int | None = 1000) -> DataFrame:
+                        df_cap: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over shared-shingle candidate pairs.
 
-    `df_cap` drops shingles appearing in more than that many docs
-    before the self-join (same skew guard as minhash_lsh_candidates):
-    one boilerplate 3-gram repeated across a crawl would otherwise
-    concentrate the shared-shingle join into a single quadratic hot
-    key. Jaccard is then computed over the capped shingle universe
-    (numerator and denominator from the same filtered set). Pass
-    df_cap=None for the uncapped oracle-twin semantics."""
+    The default (df_cap=None) is TRUE n-gram Jaccard — the public-API
+    contract. At crawl scale, pass `df_cap` to drop shingles appearing
+    in more than that many docs before the self-join (same skew guard
+    as minhash_lsh_candidates): one boilerplate 3-gram repeated across
+    a crawl would otherwise concentrate the shared-shingle join into a
+    single quadratic hot key. With the cap active, `jaccard` is
+    computed over the capped shingle universe (numerator and
+    denominator from the same filtered set) and is therefore an
+    APPROXIMATION — near-1.0 dups sharing hot shingles can score lower
+    or drop out; callers opt into that trade explicitly."""
     from dygiepp_spark.plans.session import spread
     docs = spread(docs)
     sh = docs.select(F.col(id_col).alias("id"),
@@ -219,7 +222,10 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_hamming: int = 2) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance. Blocking: equal
-    upper byte (at scale: multiple rotated-block tables)."""
+    upper byte — the SQL-oracle-twinned form. 256 blocks only, so the
+    within-block self-join re-quadratizes at crawl scale: use
+    simhash_near_pairs_blocked (pigeonhole multi-block tables,
+    recall 1.0) as the scale path."""
     sh = simhash(docs, id_col, text_col)
     blocked = sh.withColumn("blk", F.shiftright("simhash", 8))
     a, b = blocked.alias("a"), blocked.alias("b")
@@ -230,6 +236,52 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                     F.col(f"b.{id_col}").alias("id2"),
                     ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_pairs_blocked(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               max_hamming: int = 3,
+                               bits: int = SIMHASH_BITS) -> DataFrame:
+    """Pigeonhole-blocked simhash near-pairs — the crawl-scale path
+    with GUARANTEED recall 1.0.
+
+    Split the `bits`-bit fingerprint into (max_hamming + 1) disjoint
+    blocks: a pair differing in <= max_hamming bits cannot touch every
+    block, so it agrees EXACTLY on >= 1 (block_idx, block_value) key
+    (pigeonhole). Candidates = the union over block tables of
+    equal-block pairs — each table's equi-join shards on a
+    bits/(d+1)-bit key, so no 256-block quadratic hot spot; verify is
+    exact bit_count on candidates only. Output = exactly the
+    Hamming <= max_hamming pairs (recall AND precision 1.0 —
+    oracle-twinned as q_simhash_blocked_pairs against brute-force
+    all-pairs Hamming in DuckDB).
+    """
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    rem = bits % n_blocks
+    # block i covers [off_i, off_i + w_i): first `rem` blocks one wider
+    blocks = []
+    off = 0
+    for i in range(n_blocks):
+        w_i = width + (1 if i < rem else 0)
+        mask = (1 << w_i) - 1
+        blocks.append(
+            F.shiftright("simhash", off).bitwiseAND(F.lit(mask)))
+        off += w_i
+    sh = simhash(docs, id_col, text_col)
+    tab = sh.select(F.col(id_col).alias("id"), "simhash",
+                    F.posexplode(F.array(*blocks))
+                    .alias("blk_idx", "blk_val"))
+    a, b = tab.alias("a"), tab.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.blk_idx") == F.col("b.blk_idx"))
+                   & (F.col("a.blk_val") == F.col("b.blk_val"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id1"),
+                    F.col("b.id").alias("id2"),
+                    ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id1", "id2"]))
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",

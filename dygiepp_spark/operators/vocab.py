@@ -33,21 +33,52 @@ def label_vocab_from_docs(docs: DataFrame) -> dict[str, list[str]]:
 
     ner items are [start, end, LABEL]; relation items are
     [s1, e1, s2, e2, LABEL] — the label is the LAST element either
-    way, so one expression serves both namespaces."""
-    out: dict[str, list[str]] = {}
-    for ns, col in (("ner_labels", "ner"),
-                    ("relation_labels", "relations")):
-        if col not in docs.columns:
-            out[ns] = []
-            continue
-        labels = (docs
-                  .select(F.explode_outer(col).alias("per_sent"))
-                  .select(F.explode_outer("per_sent").alias("item"))
-                  .select(F.element_at("item", -1).alias("label"))
-                  .filter(F.col("label").isNotNull())
-                  .distinct())
-        out[ns] = sorted(r.label for r in labels.collect())
+    way, so one expression serves both namespaces.
+
+    SINGLE PASS: every namespace's (ns, label) pairs are emitted from
+    one projection over one scan (per-namespace jobs would each
+    re-scan the gold corpus — one saved scan per extra namespace at
+    crawl scale), then one distinct and one vocabulary-sized collect.
+    Plan-asserted in tests (one Scan node)."""
+    out: dict[str, list[str]] = {
+        ns: [] for ns, _ in _NAMESPACES}
+    pairs = label_pairs(docs)
+    if pairs is None:
+        return out
+    for r in pairs.collect():
+        out[r.ns].append(r.label)
+    for ns in out:
+        out[ns].sort()
     return out
+
+
+_NAMESPACES = (("ner_labels", "ner"), ("relation_labels", "relations"))
+
+
+def label_pairs(docs: DataFrame) -> DataFrame | None:
+    """The lazy (ns, label) distinct frame behind
+    label_vocab_from_docs — exposed so the one-scan plan shape is
+    assertable. None when no namespace column exists."""
+    namespaces = [(ns, col) for ns, col in _NAMESPACES
+                  if col in docs.columns]
+    if not namespaces:
+        return None
+    # per namespace: null-safe flatten of per-sentence item lists,
+    # items -> (ns, label) structs; all namespaces concatenated in the
+    # SAME projection so Catalyst plans a single scan.
+    streams = [
+        F.transform(
+            F.flatten(F.filter(
+                F.coalesce(F.col(col), F.array()),
+                lambda s: s.isNotNull())),
+            lambda it: F.struct(F.lit(ns).alias("ns"),
+                                F.element_at(it, -1).alias("label")))
+        for ns, col in namespaces]
+    return (docs
+            .select(F.explode(F.concat(*streams)).alias("p"))
+            .select("p.ns", "p.label")
+            .filter(F.col("label").isNotNull())
+            .distinct())
 
 
 def token_vocab(docs: DataFrame, text_col: str = "text",

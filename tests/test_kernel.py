@@ -177,11 +177,12 @@ def test_golden_decode_hash(sf_docs):
     df = decode_corpus(sf_docs[:25])
     payload = df.drop(columns=["score"]).to_csv(index=False).encode()
     digest = hashlib.sha256(payload).hexdigest()
-    # re-pinned (round 2): triples_rows emits kind='event' rows for
-    # every trigger, and M1/X3 now encodes via byte-fallback wordpiece
-    # segmentation + variance-preserving mean-pool
-    frozen = "96eb28da76b570f292b4364a5a06f69bfa91728f76d2dc49f099573a2a7a737a"
+    # re-pinned (round 3): M1 upgraded from the 3-gram tanh mixer to
+    # sliding-window multi-head self-attention (kernel/model.py::
+    # _self_attend — BERT-style 64-token windows, 4 heads, residual +
+    # tanh FFN); fixture golden CSV regenerated in the same change
+    frozen = "c5fabc1df0013df93c02ed47a40d4cd971ac90819db3aa5c40859953ae617306"
     assert digest == frozen, (
         f"kernel decode drifted: {digest} (update the pin only for a "
         f"deliberate semantics change)")
-    assert len(df) == 1072
+    assert len(df) == 736

@@ -415,3 +415,25 @@ def test_clean_corpus_pipeline(spark, docs):
     assert (stats["n_input"] >= stats["n_after_quality"]
             >= stats["n_after_exact_dedup"]
             >= stats["n_after_near_dedup"])
+
+
+def test_simhash_blocked_pairs_exact_recall(spark, docs):
+    """Pigeonhole blocking (d+1 disjoint blocks) must return EXACTLY
+    the brute-force Hamming<=d pair set — recall and precision 1.0
+    by construction (VERDICT r2 'What's wrong' #1)."""
+    from dygiepp_spark.operators.dedup import (simhash,
+                                               simhash_near_pairs_blocked)
+    d = 3
+    got = {(r.id1, r.id2, r.hamming)
+           for r in simhash_near_pairs_blocked(docs, max_hamming=d)
+           .collect()}
+    sh = simhash(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    exact = {(r.id1, r.id2, r.hamming) for r in
+             (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("id1"),
+                      F.col("b.doc_id").alias("id2"),
+                      ham.cast("int").alias("hamming"))
+              .filter(F.col("hamming") <= d)).collect()}
+    assert got == exact and len(exact) > 0

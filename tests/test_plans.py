@@ -126,3 +126,33 @@ def test_whole_stage_codegen_covers_projection(spark):
     plan = _plan(synth_pages(spark, "/root/testdata/sf0.001"))
     # "*(n)" prefixes mark WholeStageCodegen stages in executedPlan
     assert "*(1) Project" in plan
+
+
+def test_pipeline_bucketed_coverage_has_zero_exchange(spark, tmp_path):
+    """VERDICT r3 item 7: the PIPELINE path (run_kg bucketed=True)
+    persists triples+mentions co-bucketed by url, and the downstream
+    url_coverage rollup (two groupBys + a join on url) runs with zero
+    Exchange — the write-once-shuffle-never dividend on real outputs,
+    not a synthetic table."""
+    import uuid
+    from dygiepp_spark.plans.pipeline import run_kg, url_coverage
+    prefix = f"kgb_{uuid.uuid4().hex[:8]}"
+    out = str(tmp_path / "kg")
+    try:
+        m = run_kg(spark, "/root/testdata/sf0.001", out,
+                   bucketed=True, bucket_prefix=prefix)
+        assert m["n_coverage_urls"] > 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cov = url_coverage(spark, f"{prefix}_triples_by_url",
+                           f"{prefix}_mentions_by_url")
+        plan = _plan(cov)
+        assert "Exchange" not in plan, (
+            "co-bucketed groupBy+join must be shuffle-free:\n" + plan)
+        # and the rollup agrees with a direct (shuffling) computation
+        direct = (spark.read.parquet(out + "/triples")
+                  .groupBy("url").count().count())
+        assert cov.count() == direct == m["n_coverage_urls"]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_triples_by_url")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_mentions_by_url")
