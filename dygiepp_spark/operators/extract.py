@@ -54,14 +54,18 @@ class _PartitionTimingParam:
 def _decode_batches(batches: Iterator[pd.DataFrame],
                     from_html: bool,
                     with_partition: bool,
-                    timing_acc=None) -> Iterator[pd.DataFrame]:
+                    timing_acc=None,
+                    weights_bc=None) -> Iterator[pd.DataFrame]:
     # imports inside the UDF: executed on the executor python worker
     import time as _time
     from dygiepp_spark.kernel.model import triples_rows
     from dygiepp_spark.kernel.tokenize import extract_text
     from dygiepp_spark.kernel.weights import get_weights
 
-    w = get_weights()  # built once per worker process, then cached
+    # weights: a broadcast model archive when provided (S2 — the
+    # trained model.tar.gz path, one deserialize per executor), else
+    # the seed-derived fixture built once per worker process
+    w = weights_bc.value if weights_bc is not None else get_weights()
     cols = _COLS + (["partition_id"] if with_partition else [])
     for pdf in batches:
         rows: list[tuple] = []
@@ -91,7 +95,8 @@ def _decode_batches(batches: Iterator[pd.DataFrame],
 
 def extract_triples(pages: DataFrame, from_html: bool = True,
                     with_partition: bool = False,
-                    length_bucketed: bool = False) -> DataFrame:
+                    length_bucketed: bool = False,
+                    weights_bc=None) -> DataFrame:
     """pages -> triples. `from_html=True` runs the full X1 path
     (html -> byte-identical text -> decode); `False` short-circuits to
     the `text` column (identical output by the [BASELINE] invariant,
@@ -101,7 +106,12 @@ def extract_triples(pages: DataFrame, from_html: bool = True,
     §2.5): sortWithinPartitions by document length before the UDF, so
     Arrow batches hold similarly-sized documents (evens out per-batch
     decode time; the reference's bucket-sampler analog). Semantics-free
-    — decode output is per-document and tested invariant."""
+    — decode output is per-document and tested invariant.
+
+    `weights_bc` is an optional broadcast weight dict (from
+    kernel.weights.broadcast_archive — the literal model.tar.gz S2
+    path): pass it to run the distributed decode with trained weights
+    instead of the seed-derived fixture."""
     from pyspark.sql import functions as F
     in_cols = ["url", "html" if from_html else "text"]
     if with_partition:
@@ -109,7 +119,8 @@ def extract_triples(pages: DataFrame, from_html: bool = True,
     schema = TRIPLE_SCHEMA_PART if with_partition else TRIPLE_SCHEMA
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _decode_batches(batches, from_html, with_partition)
+        return _decode_batches(batches, from_html, with_partition,
+                               weights_bc=weights_bc)
 
     selected = pages.select(*in_cols)
     if length_bucketed:

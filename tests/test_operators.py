@@ -437,3 +437,42 @@ def test_simhash_blocked_pairs_exact_recall(spark, docs):
                       ham.cast("int").alias("hamming"))
               .filter(F.col("hamming") <= d)).collect()}
     assert got == exact and len(exact) > 0
+
+
+def test_extract_with_broadcast_archive(spark, tmp_path):
+    """S2 end-to-end: the distributed decode runs with a broadcast
+    model.tar.gz archive. Same archive -> identical triples as the
+    seed fixture path; a perturbed archive -> different decode (the
+    broadcast is actually used, not silently ignored)."""
+    import numpy as np
+    from dygiepp_spark.kernel.weights import (broadcast_archive,
+                                              build_weights,
+                                              save_archive)
+    from dygiepp_spark.operators.extract import extract_triples
+    from dygiepp_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, "/root/testdata/sf0.001").limit(20)
+
+    arc = str(tmp_path / "model.tar.gz")
+    save_archive(build_weights(), arc)
+    bc = broadcast_archive(spark, arc)
+    base = extract_triples(pages, from_html=True).toPandas()
+    via_arc = extract_triples(pages, from_html=True,
+                              weights_bc=bc).toPandas()
+    key = ["url", "kind", "subj", "pred", "obj", "subj_start",
+           "subj_end", "obj_start", "obj_end", "sent_id"]
+    a = base[key].sort_values(key).reset_index(drop=True)
+    b = via_arc[key].sort_values(key).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+    # perturbed trigger bias -> decode must change
+    w2 = build_weights()
+    w2["t_b2"] = w2["t_b2"].copy()
+    w2["t_b2"][0] = np.float32(50.0)  # null bias huge -> no triggers
+    arc2 = str(tmp_path / "model2.tar.gz")
+    save_archive(w2, arc2)
+    bc2 = broadcast_archive(spark, arc2)
+    via_arc2 = extract_triples(pages, from_html=True,
+                               weights_bc=bc2).toPandas()
+    assert (via_arc2["kind"] == "event").sum() == 0
+    assert (base["kind"] == "event").sum() > 0
