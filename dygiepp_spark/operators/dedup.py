@@ -40,6 +40,28 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
     return docs.join(keep.select(id_col), id_col, "left_semi")
 
 
+def dedup_incremental(new_docs: DataFrame, existing_fps: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Incremental exact dedup: survivors of a NEW ingestion batch
+    against an already-ingested corpus — the steady-state shape of a
+    crawl pipeline, where re-hashing the full corpus per batch would
+    be O(corpus) instead of O(batch).
+
+    existing_fps: (fp) — the running content-hash table the pipeline
+    maintains (append survivors' fps after each batch). Two steps,
+    both hash-keyed: (1) within-batch keeper = min id per fp (one
+    batch-sized shuffle); (2) LEFT ANTI against the corpus fp table —
+    at 10^12 docs that join shards on fp and is the only touch of
+    corpus-scale state. Returns the surviving (id, fp) rows."""
+    keep = (new_docs
+            .groupBy(F.md5(text_col).alias("fp"))
+            .agg(F.min(id_col).alias(id_col)))
+    return (keep.join(existing_fps.select("fp").distinct(),
+                      "fp", "left_anti")
+            .select(id_col, "fp"))
+
+
 def word_shingles(text_col: str, k: int = 3) -> Column:
     tk = F.split(F.trim(F.col(text_col)), r"\s+")
     return F.when(

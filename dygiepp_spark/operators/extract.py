@@ -130,7 +130,8 @@ def extract_triples(pages: DataFrame, from_html: bool = True,
 
 
 def extract_triples_with_metrics(pages: DataFrame,
-                                 from_html: bool = True):
+                                 from_html: bool = True,
+                                 weights_bc=None):
     """Like extract_triples(with_partition=True) but also returns a
     per-partition timing accumulator: after an action on the returned
     DataFrame, `acc.value` is {partition_id: (n_docs, decode_secs,
@@ -143,7 +144,8 @@ def extract_triples_with_metrics(pages: DataFrame,
     in_cols = ["url", "html" if from_html else "text", "partition_id"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _decode_batches(batches, from_html, True, timing_acc=acc)
+        return _decode_batches(batches, from_html, True, timing_acc=acc,
+                               weights_bc=weights_bc)
 
     return (pages.select(*in_cols)
             .mapInPandas(fn, TRIPLE_SCHEMA_PART), acc)

@@ -47,14 +47,21 @@ def completed_partitions(spark: SparkSession, out_dir: str) -> DataFrame:
 def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
                    resume: bool = True,
                    n_partitions: int = C.N_WARC_PARTITIONS,
-                   parallelism: int | None = None) -> dict:
+                   parallelism: int | None = None,
+                   weights_archive: str | None = None) -> dict:
     """pages -> triples parquet (partitioned by partition_id) +
     lineage append. Returns run metrics. Skips partitions already
-    marked done when resume=True."""
+    marked done when resume=True. `weights_archive` points at a
+    model.tar.gz (S2): broadcast once, decode runs with those weights
+    instead of the seed fixture."""
     from dygiepp_spark.operators.extract import extract_triples
     from dygiepp_spark.sources.pages import synth_pages
 
     run_id = uuid.uuid4().hex[:12]
+    weights_bc = None
+    if weights_archive is not None:
+        from dygiepp_spark.kernel.weights import broadcast_archive
+        weights_bc = broadcast_archive(spark, weights_archive)
     pages = synth_pages(spark, sf_dir, n_partitions)
     if resume:
         done = completed_partitions(spark, out_dir)
@@ -71,8 +78,8 @@ def run_extraction(spark: SparkSession, sf_dir: str, out_dir: str,
 
     t0 = time.time()
     from dygiepp_spark.operators.extract import extract_triples_with_metrics
-    triples, timing_acc = extract_triples_with_metrics(pages,
-                                                       from_html=True)
+    triples, timing_acc = extract_triples_with_metrics(
+        pages, from_html=True, weights_bc=weights_bc)
     # A5: observe() rides the write action — global metrics with no
     # second pass over the data (SURVEY.md §2.4 A5).
     from pyspark.sql import Observation
@@ -243,14 +250,17 @@ def run_kg(spark: SparkSession, sf_dir: str, out_dir: str,
            resume: bool = True,
            parallelism: int | None = None,
            bucketed: bool = False,
-           bucket_prefix: str = "kg") -> dict:
+           bucket_prefix: str = "kg",
+           weights_archive: str | None = None) -> dict:
     """Full pipeline: extraction (resumable) + graph materialization.
     Writes triples/, lineage/, nodes/, edges/ under out_dir; with
     bucketed=True additionally persists triples+mentions co-bucketed
     by url and materializes the exchange-free url_coverage rollup to
-    coverage/."""
+    coverage/; weights_archive runs the decode from a broadcast
+    model.tar.gz (S2)."""
     metrics = run_extraction(spark, sf_dir, out_dir, resume=resume,
-                             parallelism=parallelism)
+                             parallelism=parallelism,
+                             weights_archive=weights_archive)
     triples = spark.read.parquet(os.path.join(out_dir, "triples"))
     nodes, edges = build_graph(spark, triples)
     from dygiepp_spark.sources.catalog import write_table

@@ -752,3 +752,87 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda acc, x: acc + x.cast("double")), 4)
                     .alias("feat_sum"))
             .orderBy("media_id"))
+
+
+# ------------------------------------------------- graph analytics
+@register("doc_pagerank")
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (symmetrized) LSH near-dup candidate graph —
+    iterative power iteration as DataFrame joins
+    (operators/pagerank.py). Rows-only by design: bounded-iteration
+    PageRank needs aggregation over the recursive term, which SQL
+    recursive CTEs forbid; correctness is certified instead against a
+    dense numpy power iteration to 1e-9
+    (tests/test_graph.py::test_pagerank_matches_dense_power_iteration).
+    """
+    from dygiepp_spark.operators.pagerank import pagerank
+    bands = _bands_df(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("src"),
+                    F.col("b.doc_id").alias("dst"))
+            .distinct())
+    sym = cand.unionByName(
+        cand.select(F.col("dst").alias("src"),
+                    F.col("src").alias("dst")))
+    return (pagerank(sym, damping=0.85, iters=8)
+            .select(F.col("node").cast("bigint").alias("doc_id"),
+                    F.round("rank", 8).alias("rank"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------- exact quantiles
+@register("q_length_quantiles", sql="""
+SELECT lang,
+       ROUND(quantile_cont(len(string_split_regex(trim(text), '\\s+')),
+                           0.25), 4) AS q25,
+       ROUND(quantile_cont(len(string_split_regex(trim(text), '\\s+')),
+                           0.50), 4) AS q50,
+       ROUND(quantile_cont(len(string_split_regex(trim(text), '\\s+')),
+                           0.75), 4) AS q75
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language token-count quartiles (linear
+    interpolation), matching DuckDB's quantile_cont bit-for-bit from
+    integer inputs. Spark's `percentile` is the exact sort-based
+    aggregate — right at corpus-profiling scale; at 10^12 docs swap
+    for approx_percentile (t-digest sketch, map-side mergeable) and
+    drop the oracle twin."""
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (_docs(spark, sf_dir)
+            .select("lang", n.alias("n"))
+            .groupBy("lang")
+            .agg(F.round(F.expr("percentile(n, 0.25)"), 4).alias("q25"),
+                 F.round(F.expr("percentile(n, 0.50)"), 4).alias("q50"),
+                 F.round(F.expr("percentile(n, 0.75)"), 4).alias("q75"))
+            .orderBy("lang"))
+
+
+# ------------------------------------------------- incremental dedup
+@register("q_dedup_incremental", sql="""
+WITH ex AS (SELECT DISTINCT md5(text) AS fp
+            FROM documents WHERE doc_id % 2 = 0),
+nw AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id
+       FROM documents WHERE doc_id % 2 = 1 GROUP BY md5(text))
+SELECT nw.doc_id, nw.fp
+FROM nw LEFT JOIN ex ON nw.fp = ex.fp
+WHERE ex.fp IS NULL
+ORDER BY nw.doc_id
+""")
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.py::dedup_incremental):
+    odd-id docs are the 'new batch', even-id docs the already-ingested
+    corpus fingerprint table; survivors = new keepers whose content
+    hash is unseen. O(batch) + one anti-join against corpus state."""
+    from dygiepp_spark.operators.dedup import dedup_incremental
+    docs = _docs(spark, sf_dir)
+    existing = (docs.filter(F.col("doc_id") % 2 == 0)
+                .select(F.md5("text").alias("fp")))
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return (dedup_incremental(new, existing)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "fp")
+            .orderBy("doc_id"))

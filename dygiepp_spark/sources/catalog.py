@@ -12,6 +12,8 @@ here, REPLACE PARTITIONS there).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -59,6 +61,39 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
     if iceberg_available(spark):  # pragma: no cover
         return spark.read.table(target)
     return spark.read.parquet(target)
+
+
+def compact_table(spark: SparkSession, src: str, dst: str,
+                  target_file_mb: int = 256,
+                  partition_by: list[str] | None = None) -> dict:
+    """Bin-pack a parquet table's small files (the Iceberg
+    `rewrite_data_files` action behind the same seam): read `src`,
+    coalesce to ceil(total_bytes / target) output files, write `dst`.
+
+    Small files are the classic crawl-pipeline failure mode — a
+    10^6-task extraction writes 10^6 tiny parquet files, and every
+    downstream scan then pays one task + one open per file. Compaction
+    restores scan efficiency; `coalesce` (not `repartition`) keeps the
+    rewrite SHUFFLE-FREE — output files may vary in size but no bytes
+    cross the network. Writes to a NEW location (Spark cannot
+    atomically overwrite a path it is reading; on Iceberg the swap is
+    a metadata commit, here the caller swaps directories).
+
+    Returns {"in_files", "in_bytes", "out_files"}."""
+    import glob as _glob
+    files = [f for f in _glob.glob(os.path.join(src, "**", "*.parquet"),
+                                   recursive=True)]
+    in_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-in_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src).coalesce(int(n_out))
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dst)
+    out_files = _glob.glob(os.path.join(dst, "**", "*.parquet"),
+                           recursive=True)
+    return {"in_files": len(files), "in_bytes": in_bytes,
+            "out_files": len(out_files)}
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],

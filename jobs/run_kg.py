@@ -27,6 +27,12 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--bucketed", action="store_true",
+                    help="also persist triples+mentions co-bucketed "
+                         "by url and write the coverage rollup")
+    ap.add_argument("--model-archive", default=None,
+                    help="model.tar.gz to broadcast for the decode "
+                         "(default: the seeded fixture)")
     args = ap.parse_args()
 
     # --py-files puts the zip on sys.path for the driver too; the
@@ -41,7 +47,9 @@ def main() -> None:
     from dygiepp_spark.plans.pipeline import run_kg
     metrics = run_kg(spark, args.sf_dir, args.out,
                      resume=not args.no_resume,
-                     parallelism=args.parallelism)
+                     parallelism=args.parallelism,
+                     bucketed=args.bucketed,
+                     weights_archive=args.model_archive)
     print(json.dumps(metrics, default=str))
     spark.stop()
 

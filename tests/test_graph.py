@@ -229,3 +229,52 @@ def test_lineage_per_partition_rates(spark, out_dir):
     assert all(v > 0 for v in rates.values())
     # measured per-partition => rates genuinely differ across the 8
     assert len({round(v, 6) for v in rates.values()}) > 1
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    """Distributed PageRank == numpy dense power iteration with the
+    same damping/dangling conventions, to 1e-9, on a hand-built graph
+    with a dangling node and a multi-edge."""
+    import numpy as np
+    from dygiepp_spark.operators.pagerank import pagerank
+    # 0->1, 0->2, 1->2, 2->0, 3->2 (3 has in-degree 0; 4 dangling:
+    # appears only as dst), plus a duplicate 0->1 multi-edge
+    edges = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    d, iters = 0.85, 12
+    got = {r.node: r.rank
+           for r in pagerank(e, damping=d, iters=iters).collect()}
+
+    ids = sorted({u for u, v in edges} | {v for u, v in edges})
+    idx = {x: i for i, x in enumerate(ids)}
+    n = len(ids)
+    M = np.zeros((n, n))
+    for u, v in edges:
+        M[idx[v], idx[u]] += 1.0
+    outdeg = M.sum(axis=0)
+    for j in range(n):
+        if outdeg[j] > 0:
+            M[:, j] /= outdeg[j]
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = pr[outdeg == 0].sum()
+        pr = (1 - d) / n + d * (M @ pr + dangling / n)
+    for x in ids:
+        assert abs(got[x] - pr[idx[x]]) < 1e-9, (x, got[x], pr[idx[x]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_run_extraction_with_model_archive(spark, tmp_path):
+    """Pipeline-level S2: run_extraction with --model-archive-style
+    weights (archive == fixture) writes the same triple count as the
+    fixture path; the archive is broadcast once and used by the UDF."""
+    from dygiepp_spark.kernel.weights import build_weights, save_archive
+    from dygiepp_spark.plans.pipeline import run_extraction
+    arc = str(tmp_path / "model.tar.gz")
+    save_archive(build_weights(), arc)
+    base = run_extraction(spark, "/root/testdata/sf0.001",
+                          str(tmp_path / "o1"), resume=False)
+    via = run_extraction(spark, "/root/testdata/sf0.001",
+                         str(tmp_path / "o2"), resume=False,
+                         weights_archive=arc)
+    assert via["n_triples"] == base["n_triples"] > 0

@@ -156,3 +156,19 @@ def test_pipeline_bucketed_coverage_has_zero_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_triples_by_url")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_mentions_by_url")
+
+
+def test_compact_table_binpacks_small_files(spark, tmp_path):
+    """Compaction: a 64-small-file table rewrites into the computed
+    file-count with identical data and NO shuffle (coalesce plan)."""
+    from dygiepp_spark.sources.catalog import compact_table
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    (spark.range(10000).selectExpr("id", "id * 2 as v")
+     .repartition(64).write.parquet(src))
+    stats = compact_table(spark, src, dst, target_file_mb=256)
+    assert stats["in_files"] == 64
+    assert stats["out_files"] == 1  # tiny table -> one bin
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == 10000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
