@@ -836,3 +836,89 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     "fp")
             .orderBy("doc_id"))
+
+
+# ------------------------------------------------- curation: sampling
+@register("q_hash_sample", sql="""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(text), 1, 1) IN ('0', '1')
+ORDER BY doc_id
+""")
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (2/16 by first md5 nibble)
+    — the reproducible alternative to rand() for training-data
+    subsets: the same document always lands in the same shard, across
+    engines and reruns, with no seed state to ship. At 10^12 docs this
+    is a pushed-down filter on a computed column — no shuffle, no
+    coordination."""
+    return (_docs(spark, sf_dir)
+            .filter(F.substring(F.md5("text"), 1, 1).isin("0", "1"))
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------- curation: top-k per group
+@register("q_quality_topk_per_lang", sql="""
+WITH t AS (SELECT doc_id, lang,
+                  string_split_regex(trim(text), '\\s+') AS tk,
+                  length(regexp_replace(text, '\\s', '', 'g')) AS nch
+           FROM documents),
+s AS (SELECT doc_id, lang,
+             ROUND(nch * 1.0 / len(tk), 4) AS avg_tok_len
+      FROM t),
+r AS (SELECT doc_id, lang, avg_tok_len,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY avg_tok_len DESC, doc_id ASC) AS INT) AS rk
+      FROM s)
+SELECT lang, doc_id, avg_tok_len, rk FROM r WHERE rk <= 10
+ORDER BY lang, rk
+""")
+def q_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: keep the top-10 highest-quality docs per language
+    (quality = avg token length here; swap the Column for any score).
+    Per-group window top-k with a deterministic tie-break — at crawl
+    scale the two-phase salted form (operators/skew.py) replaces the
+    plain window for hot groups."""
+    tk = _toks()
+    nch = F.length(F.regexp_replace("text", r"\s", ""))
+    s = (_docs(spark, sf_dir)
+         .select("doc_id", "lang",
+                 F.round(nch * F.lit(1.0) / F.size(tk), 4)
+                 .alias("avg_tok_len")))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_tok_len").desc(), F.col("doc_id").asc())
+    return (s.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= 10)
+            .select("lang", "doc_id", "avg_tok_len", "rk")
+            .orderBy("lang", "rk"))
+
+
+# ------------------------------------------------- corpus LM stats
+@register("q_top_bigrams", sql="""
+WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents),
+b AS (SELECT tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i))
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 50
+""")
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-50 (LM-statistics family):
+    sequence+transform emits bigrams JVM-side (no UDF), one
+    map-side-combined count shuffle, global top-k on the aggregated
+    table only (count desc, bigram asc — deterministic ties)."""
+    tk = _toks()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i),
+                              F.element_at(tk, i + 1)))
+    return (_docs(spark, sf_dir)
+            .filter(F.size(tk) >= 2)
+            .select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram").asc())
+            .limit(50))
