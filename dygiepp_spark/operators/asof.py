@@ -44,8 +44,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     duplicating or dropping matches; identical rows are
     interchangeable, so ordinal assignment among them never changes
     the result set. Costs one extra shuffle of the left side — paid
-    only once, and only the left's own columns travel."""
-    w_dup = Window.partitionBy(*[F.col(c) for c in left.columns]) \
+    only once, and only the left's own columns travel.
+
+    Non-groupable column types (maps) are excluded from the key:
+    rows differing only in a map column share a dup-group, which
+    still yields one unique (group, ordinal) key per row, and the
+    as-of match depends only on `on`/`left_ts` (always groupable) —
+    so the result set is unchanged."""
+    from pyspark.sql import types as T
+
+    def _groupable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _groupable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_groupable(f.dataType) for f in dt.fields)
+        return True
+
+    key_cols = [f.name for f in left.schema.fields
+                if _groupable(f.dataType)]
+    w_dup = Window.partitionBy(*[F.col(c) for c in key_cols]) \
         .orderBy(F.lit(1))
     l = left.withColumn("_l_ord", F.row_number().over(w_dup)).alias("l")
     r = right.alias("r")
@@ -58,7 +77,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             f"INTERVAL {tolerance_sec} SECOND"))
     joined = l.join(r, cond)
     w = Window.partitionBy(
-        *[F.col(f"l.{c}") for c in left.columns], F.col("l._l_ord")) \
+        *[F.col(f"l.{c}") for c in key_cols], F.col("l._l_ord")) \
         .orderBy(rts.desc(), F.col(f"r.{right_id}").desc())
     out_cols = [F.col(f"l.{c}").alias(c) for c in left.columns] + \
                [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]

@@ -257,14 +257,24 @@ def evaluate_against_gold(triples: DataFrame,
                                ["doc_key", "s1", "e1", "s2", "e2",
                                 "label"]),
     }
-    if "events" in gold_docs.columns:
+    # gate on CONTENT, not column presence: every repo reader emits
+    # the events/clusters columns (null when the JSON lacks them), so
+    # a column-existence check would report misleading zero-gold
+    # tables for corpora with no such annotations. The probe is a
+    # limit(1) scan — metadata-cheap next to the evaluation itself.
+    def _has(col: str) -> bool:
+        return (col in gold_docs.columns
+                and gold_docs.filter(F.col(col).isNotNull())
+                .limit(1).count() > 0)
+
+    if _has("events"):
         out["event_triggers"] = prf_table(
             pred_event_triggers(triples), gold_event_triggers(gold_docs),
             ["doc_key", "trigger", "label"])
         out["event_args"] = prf_table(
             pred_event_args(triples), gold_event_args(gold_docs),
             ["doc_key", "trigger", "start", "end", "label"])
-    if "clusters" in gold_docs.columns:
+    if _has("clusters"):
         out.update(coref_cluster_tables(
             pred_cluster_mentions(triples),
             gold_cluster_mentions(gold_docs)))

@@ -39,8 +39,12 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     """edges: directed (src, dst) pairs (duplicates = multi-edges,
     each carries weight 1/outdeg share). Returns (node, rank) with
     Σ rank = 1. Nodes = every id appearing as src OR dst."""
+    # checkpoint the EDGE set first: every iteration is a separate
+    # action, and an un-checkpointed edge lineage (e.g. an LSH
+    # self-join upstream) would recompute per iteration
     e = (edges.select(F.col(src_col).alias("src"),
-                      F.col(dst_col).alias("dst")))
+                      F.col(dst_col).alias("dst"))
+         .localCheckpoint(eager=True))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct()

@@ -435,8 +435,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- simhash
-@register("q_simhash", sql="""
-WITH toks AS (SELECT doc_id,
+_SIMHASH_CTE = """toks AS (SELECT doc_id,
                      UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
               FROM documents),
 bits AS (SELECT doc_id, j,
@@ -445,11 +444,19 @@ bits AS (SELECT doc_id, j,
                     THEN 1 ELSE -1 END) AS sv
          FROM toks CROSS JOIN
               (SELECT UNNEST(generate_series(1, 16)) AS j) p
-         GROUP BY doc_id, j)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN sv >= 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT)
-           AS simhash
-FROM bits GROUP BY doc_id ORDER BY doc_id
+         GROUP BY doc_id, j),
+sh AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN sv >= 0 THEN 1 << (j - 1) ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)"""
+# one simhash convention, three twins: the nibble threshold and bit
+# packing MUST stay identical across q_simhash / q_simhash_near_pairs
+# / q_simhash_blocked_pairs or their oracles silently desynchronize
+
+
+@register("q_simhash", sql=f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM sh ORDER BY doc_id
 """)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (operators/dedup.py::simhash) —
@@ -463,21 +470,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- CC with SQL oracle
-@register("q_simhash_near_pairs", sql="""
-WITH toks AS (SELECT doc_id,
-                     UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
-              FROM documents),
-bits AS (SELECT doc_id, j,
-                SUM(CASE WHEN substr(md5(tok), j, 1) IN
-                         ('8','9','a','b','c','d','e','f')
-                    THEN 1 ELSE -1 END) AS sv
-         FROM toks CROSS JOIN
-              (SELECT UNNEST(generate_series(1, 16)) AS j) p
-         GROUP BY doc_id, j),
-sh AS (SELECT doc_id,
-              CAST(SUM(CASE WHEN sv >= 0 THEN 1 << (j - 1) ELSE 0 END)
-                   AS BIGINT) AS simhash
-       FROM bits GROUP BY doc_id)
+@register("q_simhash_near_pairs", sql=f"""
+WITH {_SIMHASH_CTE}
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sh a JOIN sh b
@@ -497,21 +491,8 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id1", "id2"))
 
 
-@register("q_simhash_blocked_pairs", sql="""
-WITH toks AS (SELECT doc_id,
-                     UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
-              FROM documents),
-bits AS (SELECT doc_id, j,
-                SUM(CASE WHEN substr(md5(tok), j, 1) IN
-                         ('8','9','a','b','c','d','e','f')
-                    THEN 1 ELSE -1 END) AS sv
-         FROM toks CROSS JOIN
-              (SELECT UNNEST(generate_series(1, 16)) AS j) p
-         GROUP BY doc_id, j),
-sh AS (SELECT doc_id,
-              CAST(SUM(CASE WHEN sv >= 0 THEN 1 << (j - 1) ELSE 0 END)
-                   AS BIGINT) AS simhash
-       FROM bits GROUP BY doc_id)
+@register("q_simhash_blocked_pairs", sql=f"""
+WITH {_SIMHASH_CTE}
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id

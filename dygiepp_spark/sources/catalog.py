@@ -80,20 +80,43 @@ def compact_table(spark: SparkSession, src: str, dst: str,
     a metadata commit, here the caller swaps directories).
 
     Returns {"in_files", "in_bytes", "out_files"}."""
-    import glob as _glob
-    files = [f for f in _glob.glob(os.path.join(src, "**", "*.parquet"),
-                                   recursive=True)]
-    in_bytes = sum(os.path.getsize(f) for f in files)
+    in_files, in_bytes = _list_parquet(spark, src)
+    if in_files == 0:
+        raise ValueError(
+            f"compact_table: no parquet files under {src!r} — refusing "
+            f"to rewrite (a silent coalesce(1) of a mis-typed path is "
+            f"exactly the failure this guard exists for)")
     n_out = max(1, -(-in_bytes // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src).coalesce(int(n_out))
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(dst)
-    out_files = _glob.glob(os.path.join(dst, "**", "*.parquet"),
-                           recursive=True)
-    return {"in_files": len(files), "in_bytes": in_bytes,
-            "out_files": len(out_files)}
+    out_files, _ = _list_parquet(spark, dst)
+    return {"in_files": in_files, "in_bytes": in_bytes,
+            "out_files": out_files}
+
+
+def _list_parquet(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of *.parquet under `path`, via the
+    Hadoop FileSystem API — scheme-agnostic (file://, hdfs://, s3a://),
+    unlike a driver-local glob which silently sees nothing on
+    distributed storage."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return 0, 0
+    n, total = 0, 0
+    it = fs.listFiles(p, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            n += 1
+            total += st.getLen()
+    return n, total
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],

@@ -304,9 +304,13 @@ def test_coref_cluster_metrics(spark):
             exact["cluster"].n_gold) == (0, 1, 2)
 
 
-def test_evaluate_against_gold_includes_event_and_coref_tables(spark):
-    """The composed entry point exposes the full reference metric
-    surface when gold carries events/clusters."""
+def test_evaluate_against_gold_gates_tables_on_gold_content(spark):
+    """The composed entry point exposes event/coref metric tables
+    only when the gold actually CARRIES those annotations (content
+    gate, not column presence — every reader emits the columns, null
+    when absent): the ACE fixture has events but no clusters; a jsonl
+    doc with clusters adds the coref tables."""
+    import json
     from dygiepp_spark.operators.evaluate import evaluate_against_gold
     from dygiepp_spark.operators.extract import extract_triples
     from dygiepp_spark.sources.ingest import read_ace_corpus
@@ -314,10 +318,25 @@ def test_evaluate_against_gold_includes_event_and_coref_tables(spark):
     docs = read_ace_corpus(spark, FIX)
     triples = extract_triples(docs_to_pages(docs), from_html=True)
     tables = evaluate_against_gold(triples, docs)
+    # ACE fixture: events present, clusters absent -> no zero-gold
+    # coref tables fabricated
     assert set(tables) == {"ner", "relations", "event_triggers",
-                           "event_args", "coref_links", "coref_exact"}
-    # every table materializes with the full prf schema
+                           "event_args"}
     for t in tables.values():
         assert t.columns == ["label", "tp", "n_pred", "n_gold",
                              "precision", "recall", "f1"]
         t.collect()
+    # a gold corpus WITH clusters gains the coref tables
+    from dygiepp_spark.sources.jsonl import read_document_jsonl
+    import tempfile, os as _os
+    d = {"doc_key": "c1", "dataset": "x",
+         "sentences": [["a", "b", "c", "d"]],
+         "clusters": [[[0, 0], [2, 2]]]}
+    with tempfile.TemporaryDirectory() as td:
+        path = _os.path.join(td, "docs.jsonl")
+        with open(path, "w") as f:
+            f.write(json.dumps(d) + "\n")
+        gold2 = read_document_jsonl(spark, path)
+        tables2 = evaluate_against_gold(triples, gold2)
+    assert {"coref_links", "coref_exact"} <= set(tables2)
+    assert "event_triggers" not in tables2  # no gold events here
