@@ -67,7 +67,6 @@ def _encode(tokens: list[str], w: dict) -> np.ndarray:
     3-gram mixer; crosses sentence boundaries within a window — the
     paper's cross-sentence encoding [PAPER], SURVEY §2.8 M1 /
     ref:DyGIE.forward transformer embedder)."""
-    from dygiepp_spark.kernel.wordpiece import wordpiece_ids
     pe = w["piece_emb"]
     if not tokens:
         emb = np.zeros((0, pe.shape[1]), F32)
@@ -75,8 +74,17 @@ def _encode(tokens: list[str], w: dict) -> np.ndarray:
         # pool each DISTINCT token once, then index by occurrence —
         # crawl text is Zipf-distributed, so this cuts M1's gather+
         # reduce work by the repeat factor (bit-identical: the same
-        # float ops run once per unique token instead of per use)
-        pooled: dict[str, np.ndarray] = {}
+        # float ops run once per unique token instead of per use).
+        # The pool cache is WORKER-LEVEL (not per-document): common
+        # tokens repeat across documents far more than within one, so
+        # segmentation (pure-python string work, the hot cost) and
+        # pooling run once per token per worker lifetime; bounded to
+        # _POOL_CACHE_MAX entries (vocab-sized memory, cleared whole —
+        # an LRU would cost more than repooling).
+        pooled = _pooled_cache(pe)
+        if len(pooled) > _POOL_CACHE_MAX:
+            pooled.clear()
+        from dygiepp_spark.kernel.wordpiece import wordpiece_ids
         for t in tokens:
             if t not in pooled:
                 pids = wordpiece_ids(t)
@@ -84,6 +92,22 @@ def _encode(tokens: list[str], w: dict) -> np.ndarray:
                              * np.sqrt(F32(len(pids))))
         emb = np.vstack([pooled[t] for t in tokens]).astype(F32)
     return _self_attend(emb, w)
+
+
+_POOL_CACHE_MAX = 200_000  # ~25 MB at H=32 float32 + key strings
+_POOL_CACHE: dict = {"pe": None, "pool": {}}
+
+
+def _pooled_cache(pe: np.ndarray) -> dict:
+    """Token->pooled-embedding cache bound to ONE weight table: the
+    cache holds a reference to `pe` and compares by identity, so a
+    different broadcast archive resets it and a freed table's address
+    can never be re-used to serve stale vectors (holding the
+    reference pins the array alive while its cache exists)."""
+    if _POOL_CACHE["pe"] is not pe:
+        _POOL_CACHE["pe"] = pe
+        _POOL_CACHE["pool"] = {}
+    return _POOL_CACHE["pool"]
 
 
 def _self_attend(emb: np.ndarray, w: dict) -> np.ndarray:
