@@ -94,7 +94,12 @@ def _encode(tokens: list[str], w: dict) -> np.ndarray:
     return _self_attend(emb, w)
 
 
-_POOL_CACHE_MAX = 200_000  # ~25 MB at H=32 float32 + key strings
+# ~400 B/entry real cost (32-float ndarray object + dict slot + str
+# key), so the cap bounds the cache at ~20 MB per python worker; the
+# Zipf head of any corpus fits far below it. Whole-clear at the cap
+# is deliberate: an LRU's bookkeeping costs more than repooling the
+# hot head once per (rare) clear.
+_POOL_CACHE_MAX = 50_000
 _POOL_CACHE: dict = {"pe": None, "pool": {}}
 
 

@@ -109,10 +109,12 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     scored = (cand.join(qv, "query_id").join(vv, "vec_id")
               .select("query_id", "vec_id",
                       _cosine(F.col("qv"), F.col("v")).alias("cos"))
-              # duplicate ids on either input would fan the re-join
-              # back out and double-count a neighbor in the top-k;
-              # dedup on scalar rows (id pair + cos) is free
-              .dropDuplicates(["query_id", "vec_id"]))
+              # duplicate ids on either input (malformed but
+              # tolerated) would fan the re-join back out and
+              # double-count a neighbor; collapse to the DETERMINISTIC
+              # best score per pair — scalar rows, map-side combined
+              .groupBy("query_id", "vec_id")
+              .agg(F.max("cos").alias("cos")))
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("vec_id").asc())
     return (scored.withColumn("rn", F.row_number().over(w).cast("int"))

@@ -258,23 +258,35 @@ def evaluate_against_gold(triples: DataFrame,
                                 "label"]),
     }
     # gate on CONTENT, not column presence: every repo reader emits
-    # the events/clusters columns (null when the JSON lacks them), so
-    # a column-existence check would report misleading zero-gold
-    # tables for corpora with no such annotations. The probe is a
-    # limit(1) scan — metadata-cheap next to the evaluation itself.
-    def _has(col: str) -> bool:
-        return (col in gold_docs.columns
-                and gold_docs.filter(F.col(col).isNotNull())
-                .limit(1).count() > 0)
+    # the events/clusters columns — null OR a per-sentence list of
+    # EMPTY lists when the corpus carries no such annotations (the
+    # ACE reader always materializes [[], [], ...]) — so both a
+    # column-existence and an isNotNull check would fabricate
+    # misleading zero-gold tables. "Has annotations" therefore means
+    # >= 1 actual item after flattening; both flags come from ONE
+    # aggregate job over the gold docs.
+    def _nonempty(col: str):
+        flat = F.flatten(F.filter(F.col(col),
+                                  lambda s: s.isNotNull()))
+        return F.max(F.coalesce(F.size(flat) > 0, F.lit(False)))
 
-    if _has("events"):
+    probe_cols = [c for c in ("events", "clusters")
+                  if c in gold_docs.columns]
+    flags = {c: False for c in ("events", "clusters")}
+    if probe_cols:
+        row = gold_docs.agg(
+            *[_nonempty(c).alias(c) for c in probe_cols]).first()
+        for c in probe_cols:
+            flags[c] = bool(row[c])
+
+    if flags["events"]:
         out["event_triggers"] = prf_table(
             pred_event_triggers(triples), gold_event_triggers(gold_docs),
             ["doc_key", "trigger", "label"])
         out["event_args"] = prf_table(
             pred_event_args(triples), gold_event_args(gold_docs),
             ["doc_key", "trigger", "start", "end", "label"])
-    if _has("clusters"):
+    if flags["clusters"]:
         out.update(coref_cluster_tables(
             pred_cluster_mentions(triples),
             gold_cluster_mentions(gold_docs)))

@@ -340,3 +340,24 @@ def test_evaluate_against_gold_gates_tables_on_gold_content(spark):
         tables2 = evaluate_against_gold(triples, gold2)
     assert {"coref_links", "coref_exact"} <= set(tables2)
     assert "event_triggers" not in tables2  # no gold events here
+
+
+def test_evaluate_gate_ignores_empty_annotation_structures(spark):
+    """Explicit empty events/clusters ([] or per-sentence [[]]) must
+    NOT open the gate — non-null-but-empty is the common shape for
+    unannotated DyGIE++-format corpora (review finding r3)."""
+    import json, tempfile, os as _os
+    from dygiepp_spark.operators.evaluate import evaluate_against_gold
+    from dygiepp_spark.operators.extract import TRIPLE_SCHEMA
+    from dygiepp_spark.sources.jsonl import read_document_jsonl
+    d = {"doc_key": "e1", "dataset": "x",
+         "sentences": [["a", "b"], ["c"]],
+         "events": [[], []], "clusters": []}
+    triples = spark.createDataFrame([], TRIPLE_SCHEMA)
+    with tempfile.TemporaryDirectory() as td:
+        path = _os.path.join(td, "docs.jsonl")
+        with open(path, "w") as f:
+            f.write(json.dumps(d) + "\n")
+        gold = read_document_jsonl(spark, path)
+        tables = evaluate_against_gold(triples, gold)
+    assert set(tables) == {"ner", "relations"}
