@@ -55,18 +55,28 @@ def _hyperplanes(dim: int, n_tables: int, bits: int,
     return rng.standard_normal((n_tables * bits, dim)).tolist()
 
 
-def _bucket_udf(dim: int, n_tables: int, bits: int, seed: int):
+def _bucket_udf(dim: int | None, n_tables: int, bits: int, seed: int):
     """Vectorized bucket computation: one Arrow-batch matmul
     [batch, dim] @ [dim, tables*bits] -> sign bits -> packed bucket
     ids. ~100x fewer expression evaluations than an unrolled JVM
     expression tree; hyperplanes regenerated from the seed inside the
-    worker (nothing shipped)."""
+    worker (nothing shipped).
+
+    `dim=None` derives the dimensionality from each Arrow batch's own
+    vectors: planes are a pure function of (seed, dim), so every batch
+    on every executor regenerates the SAME planes — no driver action
+    (first-row peek) needed anywhere. Passing `dim` keeps the old
+    behavior plus a shape assertion (catches ragged embedding
+    columns, which would otherwise silently bucket inconsistently)."""
 
     @F.pandas_udf("array<int>")
     def buckets(vecs: pd.Series) -> pd.Series:
-        planes = np.asarray(_hyperplanes(dim, n_tables, bits, seed),
-                            dtype=np.float64)          # [T*B, dim]
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = mat.shape[1] if dim is None else dim
+        assert mat.shape[1] == d, (
+            f"embedding dim {mat.shape[1]} != declared {d}")
+        planes = np.asarray(_hyperplanes(d, n_tables, bits, seed),
+                            dtype=np.float64)          # [T*B, dim]
         signs = (mat @ planes.T >= 0).astype(np.int64)  # [n, T*B]
         weights = (1 << np.arange(bits - 1, -1, -1))
         ids = (signs.reshape(len(mat), n_tables, bits) * weights).sum(2)
@@ -81,10 +91,8 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              seed: int = 42, dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH-blocked top-k. Candidate set = union of
     same-bucket vectors over n_tables tables; exact cosine re-rank.
-    Pass `dim` explicitly at scale — the fallback is a driver action
-    (first-row peek), fine only interactively."""
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+    `dim` is optional: the bucket UDF derives it per Arrow batch (no
+    driver action); passing it adds a shape assertion."""
     bucket_of = _bucket_udf(dim, n_tables, bits, seed)
 
     e_b = (emb.withColumn("buckets", bucket_of(F.col(vec_col)))

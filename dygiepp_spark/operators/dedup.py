@@ -62,6 +62,82 @@ def dedup_incremental(new_docs: DataFrame, existing_fps: DataFrame,
             .select(id_col, "fp"))
 
 
+def lsh_band_table(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_hashes: int = 16, n_bands: int = 4,
+                   df_cap: int | None = 1000) -> DataFrame:
+    """(id, band, sig) MinHash-LSH band-signature table — the corpus
+    state an incremental near-dup pipeline maintains (append
+    survivors' rows after each batch). Same hashing/banding as
+    minhash_lsh_candidates: k xxhash64 minima in one projection + one
+    groupBy, band sig = digest of the band's row minima."""
+    rows = n_hashes // n_bands
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(word_shingles(text_col)).alias("s"))
+    if df_cap is not None:
+        sh = _drop_hot_shingles(sh, df_cap)
+    hashed = sh.select(
+        "id", *[F.xxhash64(F.lit(seed), "s").alias(f"h{seed}")
+                for seed in range(n_hashes)])
+    mh = hashed.groupBy("id").agg(
+        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(n_hashes)])
+    return mh.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws("|", *[
+                F.col(f"h{band * rows + r}").cast("string")
+                for r in range(rows)]))
+            for band in range(n_bands)])).alias("band", "sig"))
+
+
+def lsh_dedup_incremental(new_docs: DataFrame, existing_bands: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          bands: DataFrame | None = None,
+                          n_hashes: int = 16, n_bands: int = 4,
+                          df_cap: int | None = 1000) -> DataFrame:
+    """Incremental NEAR-dup dedup: survivors of a NEW ingestion batch
+    against the running corpus's LSH band-signature table — the
+    steady-state crawl shape for near-dups, mirroring
+    dedup_incremental's exact-hash form.
+
+    existing_bands: (band, sig) rows of the corpus signature state
+    (from lsh_band_table; id column, if present, is ignored). A new
+    doc is a duplicate iff it shares >= 1 (band, sig) key with the
+    corpus OR with a smaller-id doc of its own batch (deterministic
+    min-id keeper — matches minhash_lsh_candidates' collision
+    semantics; precision is governed by the band/row parameters, the
+    standard signature-only-state trade since corpus text is gone).
+
+    Cost is O(batch): the batch's bands are built with one batch-sized
+    shuffle; the corpus-scale state is touched by ONE left-semi join
+    sharding on the uniform 64-bit (band, sig) digest key. Returns the
+    surviving (id) rows; append lsh_band_table(survivor docs) to the
+    state table afterwards.
+
+    `bands`: optionally pass a precomputed (id, band, sig) table for
+    the new batch (e.g. the md5-portable banding of
+    plans/queries_corpus.py) instead of the internal xxhash64 one —
+    the signature convention must match existing_bands'."""
+    nb = bands if bands is not None else lsh_band_table(
+        new_docs, id_col, text_col, n_hashes, n_bands, df_cap)
+    hit_corpus = (nb.join(existing_bands.select("band", "sig"),
+                          ["band", "sig"], "left_semi")
+                  .select("id"))
+    a, b = nb.alias("a"), nb.alias("b")
+    hit_batch = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.sig") == F.col("b.sig"))
+                        & (F.col("a.id") < F.col("b.id")))
+                 .select(F.col("b.id").alias("id")))
+    dups = (hit_corpus.unionByName(hit_batch).distinct()
+            .withColumnRenamed("id", id_col))
+    # anti against the FULL batch (not the band table): a doc that
+    # produced no band rows (e.g. too short to shingle under a
+    # caller-supplied banding) trivially survives
+    return (new_docs.join(dups, id_col, "left_anti")
+            .select(id_col))
+
+
 def word_shingles(text_col: str, k: int = 3) -> Column:
     tk = F.split(F.trim(F.col(text_col)), r"\s+")
     return F.when(
@@ -346,11 +422,12 @@ def embedding_near_dups_blocked(emb: DataFrame, id_col: str = "vec_id",
     (angle <= 18deg) the default 8x6-bit tables give ~1-(1-0.9^6)^8
     ~= 0.998, measured vs the brute path in tests. Lower thresholds
     need fewer bits / more tables (recall test uses bits=2, n_tables=16).
-    """
+
+    `dim` is optional: the bucket UDF derives it from each Arrow
+    batch's own vectors (planes are a pure function of (seed, dim), so
+    all batches agree) — no driver action; passing it adds a shape
+    assertion."""
     from dygiepp_spark.operators.ann import _bucket_udf, _cosine
-    if dim is None:
-        # driver action, sandbox convenience only — pass dim at scale
-        dim = len(emb.select(vec_col).first()[0])
     bucket_of = _bucket_udf(dim, n_tables, bits, seed)
     b = (emb.withColumn("buckets", bucket_of(F.col(vec_col)))
          .select(F.col(id_col).alias("id"),

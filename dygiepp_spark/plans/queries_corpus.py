@@ -819,6 +819,85 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# --------------------------------------------- incremental NEAR-dup
+@register("q_lsh_incremental", sql=f"""
+WITH {_BANDS_CTE},
+ex AS (SELECT DISTINCT band, band_sig FROM bands WHERE doc_id % 2 = 0),
+nw AS (SELECT doc_id, band, band_sig FROM bands WHERE doc_id % 2 = 1),
+hitc AS (SELECT DISTINCT nw.doc_id FROM nw
+         JOIN ex ON nw.band = ex.band AND nw.band_sig = ex.band_sig),
+hitb AS (SELECT DISTINCT b.doc_id FROM nw a JOIN nw b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+dup AS (SELECT doc_id FROM hitc UNION SELECT doc_id FROM hitb)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+ORDER BY doc_id
+""")
+def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (operators/dedup.py::
+    lsh_dedup_incremental): odd-id docs are the 'new batch', even-id
+    docs the already-ingested corpus whose (band, sig) signature table
+    is the ONLY corpus-scale state touched — one left-semi join on the
+    uniform digest key, O(batch) everything else. A new doc is dropped
+    iff it band-collides with the corpus or with a smaller-id batch
+    doc (min-id keeper). Banding here is the md5-portable form
+    (_bands_df) so the DuckDB twin certifies the incremental JOIN
+    LOGIC value-exactly; the operator's internal xxhash64 banding is
+    exercised by the planted-dup pytest."""
+    from dygiepp_spark.operators.dedup import lsh_dedup_incremental
+    docs = _docs(spark, sf_dir)
+    bands = _bands_df(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "band",
+        F.col("band_sig").alias("sig"))
+    existing = (bands.filter(F.col("id") % 2 == 0)
+                .select("band", "sig"))
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    new_bands = bands.filter(F.col("id") % 2 == 1)
+    return (lsh_dedup_incremental(new_docs, existing, bands=new_bands)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------- approx-at-scale twins
+@register("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per language — the
+    10^12-doc swap for q_dedup_exact_stats' exact COUNT(DISTINCT):
+    the sketch is fixed-size and map-side mergeable, so cardinality
+    costs one narrow pass instead of a distinct shuffle. Rows-only by
+    design (HLL internals aren't SQL-portable); the error bound vs the
+    exact count is asserted in tests/test_operators.py."""
+    return (_docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.approx_count_distinct("text", rsd=0.02)
+                 .cast("bigint").alias("n_unique_approx"))
+            .orderBy("lang"))
+
+
+@register("q_length_quantiles_approx")
+def q_length_quantiles_approx(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """approx_percentile twin of q_length_quantiles — the documented
+    10^12-doc swap as code: the quantile sketch is bounded-memory and
+    map-side mergeable where exact `percentile` must sort each group.
+    Rows-only by design (sketch not SQL-portable); max deviation vs
+    the exact quartiles is asserted in tests/test_operators.py."""
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    q = F.expr("approx_percentile(n, array(0.25, 0.5, 0.75), 10000)")
+    return (_docs(spark, sf_dir)
+            .select("lang", n.alias("n"))
+            .groupBy("lang")
+            .agg(q.alias("qs"))
+            .select("lang",
+                    F.round(F.element_at("qs", 1), 4).alias("q25"),
+                    F.round(F.element_at("qs", 2), 4).alias("q50"),
+                    F.round(F.element_at("qs", 3), 4).alias("q75"))
+            .orderBy("lang"))
+
+
 # ------------------------------------------------- curation: sampling
 @register("q_hash_sample", sql="""
 SELECT doc_id, lang
@@ -873,6 +952,150 @@ def q_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= 10)
             .select("lang", "doc_id", "avg_tok_len", "rk")
             .orderBy("lang", "rk"))
+
+
+# ------------------------------------------------- evaluation P/R/F1
+# Oracle-twinned surface for operators/evaluate.py::prf_table (J4 —
+# the reference's compute_f1, ref:dygie/training/f1.py). Gold and
+# pred span sets are derived DETERMINISTICALLY from `documents` with
+# SQL-expressible rules (step-7 spans; pred = gold perturbed by
+# doc_id-keyed miss/shift/mislabel rules), so the DuckDB twin
+# certifies the real metric operator — the two equi-joins, the
+# per-label + micro aggregation, and the P/R/F1 arithmetic —
+# value-exactly, not a reimplementation of it.
+
+_PRF_TAIL = """
+tp AS (SELECT p.label, COUNT(*) AS tp
+       FROM pred p JOIN gold g USING ({keys}, label)
+       GROUP BY p.label),
+np AS (SELECT label, COUNT(*) AS n_pred FROM pred GROUP BY label),
+ng AS (SELECT label, COUNT(*) AS n_gold FROM gold GROUP BY label),
+per AS (SELECT COALESCE(np.label, ng.label) AS label,
+               COALESCE(tp.tp, 0) AS tp,
+               COALESCE(np.n_pred, 0) AS n_pred,
+               COALESCE(ng.n_gold, 0) AS n_gold
+        FROM np FULL JOIN ng ON np.label = ng.label
+        LEFT JOIN tp ON COALESCE(np.label, ng.label) = tp.label),
+allrows AS (SELECT label, tp, n_pred, n_gold FROM per
+            UNION ALL
+            SELECT '__ALL__', COALESCE(SUM(tp), 0),
+                   COALESCE(SUM(n_pred), 0), COALESCE(SUM(n_gold), 0)
+            FROM per),
+prf AS (SELECT label, tp, n_pred, n_gold,
+               CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred
+                    ELSE 0.0 END AS pv,
+               CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold
+                    ELSE 0.0 END AS rv
+        FROM allrows)
+SELECT label, CAST(tp AS BIGINT) AS tp,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_gold AS BIGINT) AS n_gold,
+       ROUND(pv, 6) AS "precision", ROUND(rv, 6) AS recall,
+       ROUND(CASE WHEN pv + rv > 0 THEN 2 * pv * rv / (pv + rv)
+             ELSE 0.0 END, 6) AS f1
+FROM prf ORDER BY label
+"""
+
+
+def _eval_positions(spark: SparkSession, sf_dir: str,
+                    max_end_off: int) -> DataFrame:
+    """(doc_id, p) for p in {0, 7, 14, ...}, p <= n_tokens - max_end_off
+    — the deterministic span-anchor grid both eval twins build on."""
+    n = F.size(_toks())
+    ps = F.when(n >= max_end_off,
+                F.sequence(F.lit(0), (n - max_end_off).cast("int"),
+                           F.lit(7))
+                ).otherwise(F.array().cast("array<int>"))
+    return (_docs(spark, sf_dir)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.explode(ps).alias("p")))
+
+
+@register("q_eval_ner_prf", sql="""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  len(string_split_regex(trim(text), '\\s+')) AS n
+           FROM documents),
+pos AS (SELECT doc_id, UNNEST(generate_series(0, n - 2, 7)) AS p
+        FROM t WHERE n >= 2),
+gold AS (SELECT doc_id, p AS s, p + 1 AS e,
+                'L' || CAST((p // 7) % 3 AS VARCHAR) AS label
+         FROM pos),
+pred AS (SELECT doc_id,
+                p + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS s,
+                p + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + 1 AS e,
+                'L' || CAST(((p // 7) +
+                    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) % 3
+                    AS VARCHAR) AS label
+         FROM pos WHERE (doc_id + p) % 11 <> 0),
+""" + _PRF_TAIL.format(keys="doc_id, s, e"))
+def q_eval_ner_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NER span-level P/R/F1 via the REAL prf_table operator
+    (operators/evaluate.py — exact (doc, span, label) match, per-label
+    + micro __ALL__ row). Gold = step-7 width-2 spans labeled L0..L2;
+    pred perturbs them: every 11th anchor missed (FN), spans shifted
+    +1 on doc_id%5==0 docs (FP+FN), labels rotated on doc_id%3==0
+    docs."""
+    from dygiepp_spark.operators.evaluate import prf_table
+    pos = _eval_positions(spark, sf_dir, 2)
+    p, did = F.col("p"), F.col("doc_id")
+    lab_i = (p / 7).cast("int")
+    gold = pos.select(
+        "doc_id", p.alias("s"), (p + 1).alias("e"),
+        F.concat(F.lit("L"), (lab_i % 3).cast("string")).alias("label"))
+    shift = F.when(did % 5 == 0, 1).otherwise(0)
+    pred = (pos.filter((did + p) % 11 != 0)
+            .select("doc_id", (p + shift).alias("s"),
+                    (p + shift + 1).alias("e"),
+                    F.concat(F.lit("L"),
+                             ((lab_i + F.when(did % 3 == 0, 1)
+                               .otherwise(0)) % 3).cast("string"))
+                    .alias("label")))
+    return prf_table(pred, gold, ["doc_id", "s", "e", "label"])
+
+
+@register("q_eval_rel_prf", sql="""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  len(string_split_regex(trim(text), '\\s+')) AS n
+           FROM documents),
+pos AS (SELECT doc_id, UNNEST(generate_series(0, n - 9, 7)) AS p
+        FROM t WHERE n >= 9),
+gold AS (SELECT doc_id, p AS s1, p + 1 AS e1, p + 7 AS s2, p + 8 AS e2,
+                'R' || CAST((p // 7) % 2 AS VARCHAR) AS label
+         FROM pos),
+pred AS (SELECT doc_id, p AS s1, p + 1 AS e1,
+                p + 7 + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS s2,
+                p + 8 + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS e2,
+                'R' || CAST(((p // 7) +
+                    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) % 2
+                    AS VARCHAR) AS label
+         FROM pos WHERE (doc_id + p) % 13 <> 0),
+""" + _PRF_TAIL.format(keys="doc_id, s1, e1, s2, e2"))
+def q_eval_rel_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-level P/R/F1 via the REAL prf_table operator — the
+    (doc, subj span, obj span, label) exact-match contract
+    (ref:dygie/training/relation_metrics.py). Gold = step-7 anchor
+    pairs (p..p+1) -> (p+7..p+8) labeled R0/R1; pred perturbs: every
+    13th anchor missed, obj span shifted on doc_id%6==0 docs, labels
+    flipped on doc_id%4==0 docs."""
+    from dygiepp_spark.operators.evaluate import prf_table
+    pos = _eval_positions(spark, sf_dir, 9)
+    p, did = F.col("p"), F.col("doc_id")
+    lab_i = (p / 7).cast("int")
+    gold = pos.select(
+        "doc_id", p.alias("s1"), (p + 1).alias("e1"),
+        (p + 7).alias("s2"), (p + 8).alias("e2"),
+        F.concat(F.lit("R"), (lab_i % 2).cast("string")).alias("label"))
+    shift = F.when(did % 6 == 0, 1).otherwise(0)
+    pred = (pos.filter((did + p) % 13 != 0)
+            .select("doc_id", p.alias("s1"), (p + 1).alias("e1"),
+                    (p + 7 + shift).alias("s2"),
+                    (p + 8 + shift).alias("e2"),
+                    F.concat(F.lit("R"),
+                             ((lab_i + F.when(did % 4 == 0, 1)
+                               .otherwise(0)) % 2).cast("string"))
+                    .alias("label")))
+    return prf_table(pred, gold, ["doc_id", "s1", "e1", "s2", "e2",
+                                  "label"])
 
 
 # ------------------------------------------------- corpus LM stats

@@ -51,6 +51,74 @@ def test_minhash_lsh_finds_exact_dups(spark, docs):
     assert full.count() == dup_pairs.count()
 
 
+def test_lsh_dedup_incremental_planted(spark):
+    """Incremental near-dup dedup on planted data: a near-copy of a
+    corpus doc and the later half of an in-batch exact pair are
+    dropped; unique docs (long or short) survive; appending the
+    survivors' bands makes re-ingesting the same batch a no-op."""
+    from dygiepp_spark.operators.dedup import (lsh_band_table,
+                                               lsh_dedup_incremental)
+
+    def text(tag: str, n: int = 30) -> str:
+        return " ".join(f"{tag}w{j}" for j in range(n))
+
+    corpus = spark.createDataFrame(
+        [(0, text("a")), (1, text("b")), (2, text("c"))],
+        "doc_id bigint, text string")
+    state = lsh_band_table(corpus)
+    new = spark.createDataFrame(
+        [(10, text("a") + " extra"),   # near-copy of corpus doc 0
+         (11, text("u")),              # unique -> survives
+         (12, text("d")), (13, text("d")),  # in-batch pair -> min id
+         (14, "just two")],            # short unique -> survives
+        "doc_id bigint, text string")
+    surv = {r.doc_id
+            for r in lsh_dedup_incremental(new, state).collect()}
+    assert surv == {11, 12, 14}, surv
+
+    # steady-state append: state += survivors' bands; the same batch
+    # re-ingested is now entirely duplicate (idempotent ingestion)
+    surv_docs = new.join(
+        spark.createDataFrame([(i,) for i in surv], "doc_id bigint"),
+        "doc_id", "left_semi")
+    state2 = state.unionByName(lsh_band_table(surv_docs))
+    assert lsh_dedup_incremental(new, state2).count() == 0
+
+
+def test_approx_distinct_within_bound(spark, docs):
+    """q_approx_distinct (HLL++, rsd=0.02) lands within 10% of the
+    exact per-language distinct-text counts — the documented
+    10^12-doc swap, bounded as code."""
+    from dygiepp_spark.plans.queries_corpus import q_approx_distinct
+    approx = {r.lang: r.n_unique_approx
+              for r in q_approx_distinct(
+                  spark, "/root/testdata/sf0.001").collect()}
+    exact = {r.lang: r.n
+             for r in docs.groupBy("lang")
+             .agg(F.countDistinct("text").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for lang, n in exact.items():
+        assert abs(approx[lang] - n) <= max(2, 0.1 * n), (
+            lang, approx[lang], n)
+
+
+def test_approx_quantiles_within_bound(spark):
+    """q_length_quantiles_approx tracks the exact quartiles: the
+    sketch returns a member of the value set, so each approx quartile
+    sits within one neighbor-gap (bounded here by 5% / 2 tokens)."""
+    from dygiepp_spark.plans.queries_corpus import (
+        q_length_quantiles, q_length_quantiles_approx)
+    sf = "/root/testdata/sf0.001"
+    ex = {r.lang: (r.q25, r.q50, r.q75)
+          for r in q_length_quantiles(spark, sf).collect()}
+    ap = {r.lang: (r.q25, r.q50, r.q75)
+          for r in q_length_quantiles_approx(spark, sf).collect()}
+    assert set(ex) == set(ap)
+    for lang in ex:
+        for a, e in zip(ap[lang], ex[lang]):
+            assert abs(a - e) <= max(2.0, 0.05 * e), (lang, a, e)
+
+
 def test_ngram_jaccard_exact_dups_score_one(spark, docs):
     from dygiepp_spark.operators.dedup import ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(docs, threshold=0.999)
