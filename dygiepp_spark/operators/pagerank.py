@@ -18,7 +18,10 @@ Scale design:
   `outdeg` table each round; both sides shard on the node id.
 - per-iteration lineage is cut with localCheckpoint (same pattern as
   cc.py) so the plan doesn't grow unboundedly over T iterations.
-- the dangling-mass term is a 1-row aggregate (driver scalar, O(1)).
+- the dangling-mass term is a 1-row aggregate folded back in via
+  crossJoin(broadcast(...)), so each iteration is ONE job (the eager
+  localCheckpoint) — no separate collect-the-scalar pass over the
+  node table per round (job count asserted in tests/test_graph.py).
 - convergence: fixed `iters` (deterministic, resumable) rather than a
   driver-side delta loop; 10–20 iterations is the standard operating
   point and keeps the job shape static for AQE.
@@ -68,17 +71,22 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum("share").alias("inflow")))
         # dangling mass: rank held by nodes with no outgoing edges,
-        # redistributed uniformly (1-row aggregate)
+        # redistributed uniformly. Kept as a 1-ROW DATAFRAME and
+        # folded in via crossJoin(broadcast(...)) so the aggregate
+        # runs inside the SAME job as the rank update — a driver
+        # .collect() here would launch one extra full pass over the
+        # node-sized ranks table per iteration.
         dangling = (ranks.join(outdeg,
                                ranks["node"] == outdeg["src"],
                                "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("dangling")))
         ranks = (nodes.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
                  .select("node",
                          (F.lit(base)
                           + F.lit(damping)
                           * (F.coalesce("inflow", F.lit(0.0))
-                             + F.lit(dangling / n))).alias("rank"))
+                             + F.col("dangling") / n)).alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks

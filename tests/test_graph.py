@@ -264,6 +264,40 @@ def test_pagerank_matches_dense_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_single_job_per_iteration(spark):
+    """The dangling-mass aggregate is folded into the rank update via
+    crossJoin(broadcast(...)) — each iteration is ONE action. With AQE
+    off, that is exactly 2 scheduler jobs per iteration (the eager
+    localCheckpoint + the 1-row broadcast build); the old per-
+    iteration driver .collect() added a third full pass over ranks."""
+    import inspect
+
+    from dygiepp_spark.operators import pagerank as pr_mod
+    from dygiepp_spark.operators.pagerank import pagerank
+    code = [ln.split("#", 1)[0]
+            for ln in inspect.getsource(pr_mod).splitlines()]
+    assert not any(".collect(" in ln for ln in code), (
+        "driver collect crept back into the PageRank loop")
+
+    edges = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def jobs_for(iters: int, tag: str) -> int:
+            sc.setJobGroup(tag, tag)
+            pagerank(e, iters=iters).count()
+            sc.setJobGroup("pr-other", "pr-other")
+            return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+        j2 = jobs_for(2, "pr-jobs-2")
+        j6 = jobs_for(6, "pr-jobs-6")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    per_iter = (j6 - j2) / 4
+    assert per_iter <= 2.0, f"{per_iter} jobs/iteration (expected <= 2)"
+
+
 def test_run_extraction_with_model_archive(spark, tmp_path):
     """Pipeline-level S2: run_extraction with --model-archive-style
     weights (archive == fixture) writes the same triple count as the
