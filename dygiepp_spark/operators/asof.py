@@ -37,20 +37,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     match (same multiplicity contract as asof_join_pandas /
     pd.merge_asof), instead of silently collapsing to one.
 
-    The per-row key is DETERMINISTIC: (all left columns, ordinal
-    within identical duplicates). monotonically_increasing_id() here
-    would be recomputed with different values if a task retry or
-    speculative re-execution re-ran the left subtree mid-query,
-    duplicating or dropping matches; identical rows are
-    interchangeable, so ordinal assignment among them never changes
-    the result set. Costs one extra shuffle of the left side — paid
-    only once, and only the left's own columns travel.
+    The per-row key is DETERMINISTIC: (digest of the left's groupable
+    columns, ordinal within the digest group). monotonically_
+    increasing_id() here would be recomputed with different values if
+    a task retry or speculative re-execution re-ran the left subtree
+    mid-query, duplicating or dropping matches; rows sharing a digest
+    group still each get a unique (group, ordinal) key, and the as-of
+    match depends only on each row's OWN `on`/`left_ts` values, so
+    ordinal assignment within a group never changes the result set.
+    Partitioning the two dup windows on the fixed-width xxhash64
+    digest — not the raw columns — keeps the shuffle keys 8 bytes
+    regardless of how wide the left's text/array payload is (the
+    payload travels once as data, never again as key).
 
-    Non-groupable column types (maps) are excluded from the key:
-    rows differing only in a map column share a dup-group, which
-    still yields one unique (group, ordinal) key per row, and the
-    as-of match depends only on `on`/`left_ts` (always groupable) —
-    so the result set is unchanged."""
+    Non-groupable column types (maps) are excluded from the digest:
+    rows differing only in a map column (like rows colliding in the
+    hash) share a dup-group, which is harmless per the argument
+    above."""
     from pyspark.sql import types as T
 
     def _groupable(dt) -> bool:
@@ -64,9 +67,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     key_cols = [f.name for f in left.schema.fields
                 if _groupable(f.dataType)]
-    w_dup = Window.partitionBy(*[F.col(c) for c in key_cols]) \
-        .orderBy(F.lit(1))
-    l = left.withColumn("_l_ord", F.row_number().over(w_dup)).alias("l")
+    grp = (F.xxhash64(*[F.col(c) for c in key_cols])
+           if key_cols else F.lit(0).cast("bigint"))
+    w_dup = Window.partitionBy("_l_grp").orderBy(F.lit(1))
+    l = (left.withColumn("_l_grp", grp)
+         .withColumn("_l_ord", F.row_number().over(w_dup))
+         .alias("l"))
     r = right.alias("r")
     lts = F.col(f"l.{left_ts}")
     rts = F.col(f"r.{right_ts}")
@@ -76,8 +82,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         cond = cond & (rts >= lts - F.expr(
             f"INTERVAL {tolerance_sec} SECOND"))
     joined = l.join(r, cond)
-    w = Window.partitionBy(
-        *[F.col(f"l.{c}") for c in key_cols], F.col("l._l_ord")) \
+    w = Window.partitionBy(F.col("l._l_grp"), F.col("l._l_ord")) \
         .orderBy(rts.desc(), F.col(f"r.{right_id}").desc())
     out_cols = [F.col(f"l.{c}").alias(c) for c in left.columns] + \
                [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
