@@ -12,8 +12,6 @@ here, REPLACE PARTITIONS there).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 

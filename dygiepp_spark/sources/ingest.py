@@ -286,8 +286,12 @@ def read_scierc_archive(spark: SparkSession, path: str) -> DataFrame:
     archive file; a sharded dump (the usual layout at scale)
     parallelizes across archives, and each line stays a self-
     contained document — no cross-task state."""
+    # keep `path` alongside `content`: a non-ok status row carries the
+    # shard's basename as its doc_key, so ingestion-loss reports can
+    # attribute failures to a file (multiple corrupt shards would
+    # otherwise all collide on an empty doc_key)
     files = (spark.read.format("binaryFile").load(path)
-             .select("content"))
+             .select("path", "content"))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,7 +300,8 @@ def read_scierc_archive(spark: SparkSession, path: str) -> DataFrame:
                 members, status = scierc_archive_members(
                     bytes(r.content))
                 if status != "ok":
-                    rows.append(("", None, None, status))
+                    rows.append((str(r.path).rsplit("/", 1)[-1],
+                                 None, None, status))
                     continue
                 for _name, data in members:
                     for line in data.decode("utf-8").splitlines():

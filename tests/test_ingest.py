@@ -210,6 +210,8 @@ def test_scierc_reader_surfaces_unreadable_archive(spark, tmp_path):
     assert by_status["ok"].doc_key == "g1"
     assert "unreadable_archive" in by_status
     assert df.filter("ingest_status != 'ok'").count() == 1
+    # the failure is attributed to its shard file, not a blank key
+    assert by_status["unreadable_archive"].doc_key == "bad.tar.gz"
 
 
 def test_label_vocab_single_scan_plan(spark):
