@@ -16,7 +16,8 @@ end asc) — required for decode parity across partitionings
 (SURVEY.md §4.3).
 
 Stage map (reference anchors in SURVEY.md §2.8):
-  M1  contextual encode          — wordpiece mean-pool + 3-gram mixer
+  M1  contextual encode          — wordpiece mean-pool + 2-layer
+                                   overlapping-window self-attention
   M2  span enumeration (W≤8)     — kernel/spans.py
   M3  span repr [h_s; h_e; w]    — EndpointSpanExtractor semantics
   M4  mention score + beam (W1)  — ref entity_beam_pruner.py::Pruner
@@ -117,56 +118,71 @@ def _pooled_cache(pe: np.ndarray) -> dict:
 
 def _self_attend(emb: np.ndarray, w: dict) -> np.ndarray:
     """Sliding-window multi-head self-attention encoder (M1): the
-    token stream is chunked into non-overlapping C.ATTN_WINDOW-token
-    windows (the BERT max_length convention the reference's mismatched
-    transformer embedder applies to long documents); within each
-    window: learned position embedding + scaled-dot-product attention
-    over C.ATTN_HEADS heads + residual + tanh FFN. All windows are
-    batched into ONE set of [n_win, heads, W, *] matmuls, so
-    per-document cost is O(n · W · H) with bounded peak memory —
-    a 20k-token page is 313 windows, ~20 MB of scores.
+    token stream is chunked into OVERLAPPING C.ATTN_WINDOW-token
+    windows strided by W/2 (the BERT max_length + stride convention
+    the reference's mismatched transformer embedder applies to long
+    documents), through TWO transformer blocks of
+    LayerNorm -> scaled-dot-product attention (C.ATTN_HEADS heads,
+    learned positions) -> residual -> LayerNorm -> tanh FFN.
+    Each token's output is taken from the window where it is most
+    central (fixed core regions [W/4, 3W/4) tiling the stride), so
+    every interior token sees a full half-window of context on BOTH
+    sides — no hard context cliff at window boundaries. All windows
+    are batched into ONE set of [n_win, heads, W, *] matmuls per
+    layer, so per-document cost is O(n · W · H · layers) with bounded
+    peak memory — a 20k-token page is 625 windows, ~40 MB of scores.
 
-    Simplifications vs a full transformer (documented seam, same
-    _encode signature the TorchScript swap replaces): one layer,
-    no LayerNorm (the tanh FFN bounds activations — matching the
-    round-2 encoder's output distribution so the fixed null-bias
-    decode calibration carries over), no cross-window attention.
-    Deterministic: float32, fixed reduction order, window boundaries
-    depend only on token positions — identical across partitionings.
+    Remaining simplifications vs a full BERT (documented seam, same
+    _encode signature the TorchScript swap replaces): 2 layers (not
+    12), tanh FFN without an expansion factor, post-block tanh keeps
+    activations bounded so the fixed null-bias decode calibration
+    stays in range. Deterministic: float32, fixed reduction order,
+    window boundaries and core assignment depend only on token
+    positions — identical across partitionings.
     """
     n, h = emb.shape
     if n == 0:
         return emb
     win = C.ATTN_WINDOW
+    stride = win // 2
     heads = C.ATTN_HEADS
     hd = h // heads
-    n_win = -(-n // win)
-    pad = n_win * win - n
-    x = emb if pad == 0 else np.vstack(
-        [emb, np.zeros((pad, h), F32)])
-    x = (x.reshape(n_win, win, h)
-         + w["pos_emb"][None, :, :]).astype(F32)
+    n_win = 1 if n <= win else int(math.ceil((n - win) / stride)) + 1
+    total = (n_win - 1) * stride + win
+    x_pad = emb if total == n else np.vstack(
+        [emb, np.zeros((total - n, h), F32)])
+    # idx[k, j] = global position of window k's j-th slot
+    idx = (np.arange(n_win)[:, None] * stride
+           + np.arange(win)[None, :])
+    x = (x_pad[idx] + w["pos_emb"][None, :, :]).astype(F32)
+    key_pad = idx >= n                        # [n_win, W] pad mask
 
     def split(m: np.ndarray) -> np.ndarray:
         # [n_win, W, h] -> [n_win, heads, W, hd]
         return m.reshape(n_win, win, heads, hd).transpose(0, 2, 1, 3)
 
-    q = split(x @ w["attn_q"])
-    k = split(x @ w["attn_k"])
-    v = split(x @ w["attn_v"])
-    sc = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(F32(hd))
-    if pad:
-        # mask padded KEY positions (only the last window has any);
-        # padded query rows are sliced away below
-        key_pad = np.zeros(n_win * win, dtype=bool)
-        key_pad[n:] = True
-        key_pad = key_pad.reshape(n_win, win)
+    for suf in ("", "2"):
+        xn = nn.layer_norm(x, w[f"ln_a{suf or '1'}_g"],
+                           w[f"ln_a{suf or '1'}_b"])
+        q = split(xn @ w[f"attn_q{suf}"])
+        k = split(xn @ w[f"attn_k{suf}"])
+        v = split(xn @ w[f"attn_v{suf}"])
+        sc = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(F32(hd))
+        # mask padded KEY positions (tail windows only); padded query
+        # rows never land in a core region, so their values are moot
         sc = np.where(key_pad[:, None, None, :], F32(-1e9), sc)
-    p = nn.softmax(sc, axis=-1)                # [n_win, heads, W, W]
-    a = (p @ v).transpose(0, 2, 1, 3).reshape(n_win, win, h)
-    h1 = (x + a @ w["attn_o"]).astype(F32)
-    out = np.tanh(h1 @ w["attn_f"] + w["attn_fb"]).astype(F32)
-    return out.reshape(n_win * win, h)[:n]
+        p = nn.softmax(sc, axis=-1)           # [n_win, heads, W, W]
+        a = (p @ v).transpose(0, 2, 1, 3).reshape(n_win, win, h)
+        x = (x + a @ w[f"attn_o{suf}"]).astype(F32)
+        fn = nn.layer_norm(x, w[f"ln_f{suf or '1'}_g"],
+                           w[f"ln_f{suf or '1'}_b"])
+        x = np.tanh(fn @ w[f"attn_f{suf}"]
+                    + w[f"attn_fb{suf}"]).astype(F32)
+
+    # core gather: token i comes from window clip((i - W/4) // S)
+    pos = np.arange(n)
+    k_of = np.clip((pos - win // 4) // stride, 0, n_win - 1)
+    return x[k_of, pos - k_of * stride]
 
 
 def _beam_keep(scores: np.ndarray, starts: np.ndarray, ends: np.ndarray,

@@ -55,6 +55,17 @@ def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     return e / np.sum(e, axis=axis, keepdims=True)
 
 
+def layer_norm(x: np.ndarray, g: np.ndarray,
+               b: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+    """LayerNorm over the last axis (the transformer-block normalizer
+    the reference's BERT-style embedder applies around attention and
+    FFN sublayers). float32, fixed reduction order."""
+    x = x.astype(F32)
+    mu = x.mean(axis=-1, keepdims=True)
+    var = np.square(x - mu).mean(axis=-1, keepdims=True)
+    return ((x - mu) / np.sqrt(var + F32(eps)) * g + b).astype(F32)
+
+
 def ffn(x: np.ndarray, w1: np.ndarray, b1: np.ndarray, w2: np.ndarray,
         b2: np.ndarray) -> np.ndarray:
     """Two-layer feedforward scorer (the upstream pair/mention scorer

@@ -19,10 +19,17 @@ from dygiepp_spark import config as C
 
 F32 = np.float32
 
-NULL_BIAS_NER = 2.0
-NULL_BIAS_REL = 0.5
-NULL_BIAS_TRIG = 1.2
-NULL_BIAS_ARG = 0.8
+# Re-calibrated (round 4) for the 2-layer LayerNorm encoder: LN fixes
+# every token's feature scale, so the decode margins concentrate and
+# the old biases sat on the wrong side of the cliff (NER/event decode
+# collapsed to ~0, relations exploded). Chosen by sweep on the sf0.001
+# corpus to land near the round-3 per-doc rates with all five kinds
+# represented (a trained model would learn these; the fixture pins
+# them).
+NULL_BIAS_NER = 1.4
+NULL_BIAS_REL = 0.9
+NULL_BIAS_TRIG = 0.8
+NULL_BIAS_ARG = 0.5
 
 
 def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
@@ -87,6 +94,27 @@ def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
     w["attn_o"] = mat(H, H)
     w["attn_f"] = mat(H, H)
     w["attn_fb"] = np.zeros(H, dtype=F32)
+    # second transformer block (M1 fidelity step 2, round 4) —
+    # appended after the round-3 draws, same precedent
+    w["attn_q2"] = mat(H, H)
+    w["attn_k2"] = mat(H, H)
+    w["attn_v2"] = mat(H, H)
+    w["attn_o2"] = mat(H, H)
+    w["attn_f2"] = mat(H, H)
+    w["attn_fb2"] = np.zeros(H, dtype=F32)
+    # LayerNorm params (no rng draws, so the fixture draw order above
+    # is untouched). Attention-side gains use the standard ones init;
+    # FFN-side gains are initialized at 0.25 so the block's tanh
+    # output keeps the ~0.2-std feature scale the downstream null-bias
+    # calibration was pinned against — a unit-gain LN would inflate
+    # every scorer logit ~5x and blow the decode density 16x (a
+    # trained model would learn this gain; the fixture must set it).
+    for ln in ("ln_a1", "ln_a2"):
+        w[f"{ln}_g"] = np.ones(H, dtype=F32)
+        w[f"{ln}_b"] = np.zeros(H, dtype=F32)
+    for ln in ("ln_f1", "ln_f2"):
+        w[f"{ln}_g"] = np.full(H, 0.25, dtype=F32)
+        w[f"{ln}_b"] = np.zeros(H, dtype=F32)
     w["ner_b"][0] = F32(NULL_BIAS_NER)
     w["rel_b"][0] = F32(NULL_BIAS_REL)
     w["t_b2"][0] = F32(NULL_BIAS_TRIG)
