@@ -92,11 +92,80 @@ def connected_components(edges: DataFrame,
                            dtype="int64")
         if stats is not None:
             stats["path"] = "local_union_find"
-        return spark.createDataFrame(out)
+        # explicit schema: pandas inference rejects the empty-graph
+        # case (0 edges -> 0 rows), which is a legal input here
+        return spark.createDataFrame(out,
+                                     "node bigint, component bigint")
 
     if stats is not None:
         stats["path"] = "star_contraction"
     return _star_contraction(e, max_iters, stats=stats)
+
+
+def cc_incremental(assign: DataFrame, new_edges: DataFrame,
+                   max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Merge a NEW batch of edges into an existing component
+    assignment — the steady-state crawl shape for entity
+    canonicalization (a fresh batch of mentions/near-dup edges arrives;
+    recomputing CC over the full corpus graph would be O(log n) shuffle
+    rounds over ALL edges, this is O(batch) + two corpus passes).
+
+    assign: (node bigint, component bigint) with component == min node
+    id reachable — exactly connected_components' output for the edges
+    seen so far. new_edges: (src, dst), undirected. Returns the same
+    contract over the UNION of old and new edges (invariant tested:
+    == connected_components(all edges), and oracle-twinned against the
+    recursive-CTE transitive closure in q_cc_incremental).
+
+    Plan shape at scale:
+    1. the batch's endpoint set (batch-sized, distinct) looks up its
+       existing components with ONE join against corpus-scale `assign`
+       (AQE broadcasts the batch side); unseen nodes stand for
+       themselves.
+    2. new edges are mapped endpoint->component via the batch-sized
+       lookup (broadcast), giving a COMPONENT-level edge list of size
+       O(batch); connected_components solves it (the small-graph
+       union-find path in the common case).
+    3. the relabel map (old component -> merged root, only where they
+       differ — at most 2x batch rows) is broadcast into ONE pass over
+       `assign`. Nothing corpus-scale is ever shuffled.
+    Component ids stay min-node-ids: the merged root is the min of the
+    merged components' ids, each of which is its component's min."""
+    a = assign.select(F.col("node").cast("bigint").alias("node"),
+                      F.col("component").cast("bigint")
+                      .alias("component"))
+    e = (new_edges.select(F.col("src").cast("bigint").alias("src"),
+                          F.col("dst").cast("bigint").alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+
+    ends = (e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct())
+    touched = (ends.join(a, "node", "left")
+               .select("node", F.coalesce("component", "node")
+                       .alias("component"))
+               .localCheckpoint(eager=True))
+
+    comp_edges = (
+        e.join(F.broadcast(touched.select(
+            F.col("node").alias("src"), F.col("component").alias("cs"))),
+            "src")
+        .join(F.broadcast(touched.select(
+            F.col("node").alias("dst"), F.col("component").alias("cd"))),
+            "dst")
+        .select(F.col("cs").alias("src"), F.col("cd").alias("dst")))
+    merged = connected_components(comp_edges, max_iters=max_iters)
+    relabel = (merged.filter(F.col("node") != F.col("component"))
+               .select(F.col("node").alias("component"),
+                       F.col("component").alias("new_comp")))
+
+    # full pre-merge assignment: the corpus rows + first-seen nodes
+    base = a.unionByName(
+        touched.join(a, "node", "left_anti")
+        .select("node", F.col("node").alias("component")))
+    return (base.join(F.broadcast(relabel), "component", "left")
+            .select("node", F.coalesce("new_comp", "component")
+                    .alias("component")))
 
 
 def _star_contraction(e: DataFrame, max_rounds: int,

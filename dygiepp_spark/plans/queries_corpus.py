@@ -515,7 +515,10 @@ def q_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id1", "id2"))
 
 
-@register("q_doc_components", sql=f"""
+# transitive closure of the LSH candidate graph — the shared oracle of
+# q_doc_components (full recompute) AND q_cc_incremental (incremental
+# merge): both Spark paths must land on this exact fixpoint
+_CC_SQL = f"""
 WITH RECURSIVE {_SH_CTE},
 bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
                  md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
@@ -531,7 +534,22 @@ reach(u, v) AS (
   SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
 SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
 FROM reach GROUP BY u ORDER BY doc_id
-""")
+"""
+
+
+def _cand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (src < dst) LSH near-dup candidate edges."""
+    bands = _bands_df(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("src"),
+                    F.col("b.doc_id").alias("dst"))
+            .distinct())
+
+
+@register("q_doc_components", sql=_CC_SQL)
 def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH near-dup candidate graph —
     the canonicalization operator (SURVEY.md §4.3) with a genuine SQL
@@ -540,18 +558,33 @@ def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transitive closure with a recursive CTE. Output restricted to
     nodes with ≥1 edge."""
     from dygiepp_spark.operators.cc import connected_components
-    bands = _bands_df(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.band_sig") == F.col("b.band_sig"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("src"),
-                    F.col("b.doc_id").alias("dst"))
-            .distinct())
-    comp = connected_components(cand)
+    comp = connected_components(_cand_edges(spark, sf_dir))
     return (comp.select(F.col("node").cast("bigint").alias("doc_id"),
                         F.col("component").cast("bigint")
                         .alias("component"))
+            .orderBy("doc_id"))
+
+
+@register("q_cc_incremental", sql=_CC_SQL)
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonicalization (operators/cc.py::cc_incremental):
+    the candidate edges whose endpoints are BOTH even doc_ids are the
+    'already-ingested' graph — solved with the full CC operator — and
+    the rest arrive as a new batch merged in with O(batch) work plus
+    one broadcast relabel pass. The oracle is the SAME recursive-CTE
+    transitive closure over ALL edges as q_doc_components, so a hash
+    match certifies the incremental merge is exactly equivalent to a
+    full recompute — the invariant that lets a 10^12-doc corpus absorb
+    a crawl increment without touching the historical edge set."""
+    from dygiepp_spark.operators.cc import (cc_incremental,
+                                            connected_components)
+    cand = _cand_edges(spark, sf_dir)
+    both_even = (F.col("src") % 2 == 0) & (F.col("dst") % 2 == 0)
+    assign = connected_components(cand.filter(both_even))
+    out = cc_incremental(assign, cand.filter(~both_even))
+    return (out.select(F.col("node").cast("bigint").alias("doc_id"),
+                       F.col("component").cast("bigint")
+                       .alias("component"))
             .orderBy("doc_id"))
 
 
@@ -1126,3 +1159,169 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .orderBy(F.col("n").desc(), F.col("bigram").asc())
             .limit(50))
+
+
+# ------------------------------------------------- TF-IDF top terms
+@register("q_tfidf_top_terms", sql="""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (SELECT tf.doc_id, tf.term,
+                  ROUND(tf.tf * ln(n.n * 1.0 / df.df), 4) AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+rk AS (SELECT doc_id, term, tfidf,
+              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC) AS INT) AS rk
+       FROM scored)
+SELECT doc_id, rk, term, tfidf FROM rk WHERE rk <= 3
+ORDER BY doc_id, rk
+""")
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf — the keyword-extraction
+    member of the text-analysis family. All JVM-side: one explode +
+    two map-side-combined aggregations (term frequency per doc,
+    document frequency per term), the corpus size folded in as a 1-row
+    broadcast (no driver scalar), and a per-doc rank-3 window on the
+    already-aggregated table. Shuffles carry (doc, term) and (term)
+    aggregates only — never the token stream. Ties broken (tfidf desc,
+    term asc) on the ROUNDED score so ordering is portable."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       F.explode(_toks()).alias("term"))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(df, "term")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n") * 1.0 / F.col("df")),
+                              4).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "rk", "term", "tfidf")
+            .orderBy("doc_id", "rk"))
+
+
+# ------------------------------------------------- graph analytics
+@register("q_triangles", sql=f"""
+WITH {_SIMHASH_CTE},
+pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8)
+           AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        FROM pairs ab JOIN pairs bc ON ab.v = bc.u
+        JOIN pairs ac ON ab.u = ac.u AND bc.v = ac.v),
+pern AS (SELECT x AS doc_id, COUNT(*) AS n_tri
+         FROM (SELECT a AS x FROM tri UNION ALL
+               SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         GROUP BY x),
+deg AS (SELECT x AS doc_id, COUNT(*) AS degree
+        FROM (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)
+        GROUP BY x)
+SELECT CAST(deg.doc_id AS BIGINT) AS doc_id,
+       CAST(deg.degree AS BIGINT) AS degree,
+       CAST(COALESCE(pern.n_tri, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN deg.degree >= 2 THEN
+             2.0 * COALESCE(pern.n_tri, 0)
+             / (deg.degree * (deg.degree - 1))
+             ELSE 0.0 END, 4) AS clustering
+FROM deg LEFT JOIN pern ON deg.doc_id = pern.doc_id
+ORDER BY doc_id
+""")
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient on the
+    simhash near-dup graph (same edge definition as
+    q_simhash_near_pairs). The triangle join is ORIENTED (a < b < c
+    via the u < v pair table), the standard skew bound: each triangle
+    is enumerated exactly once from its smallest vertex, so hub
+    vertices never fan out quadratically in both directions.
+    Clustering = 2T / d(d-1) — an integer-derived ratio, portable."""
+    e = (q_simhash_near_pairs(spark, sf_dir)
+         .select(F.col("id1").alias("u"), F.col("id2").alias("v")))
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+           .join(ac, (F.col("ab.u") == F.col("ac.u"))
+                 & (F.col("bc.v") == F.col("ac.v")))
+           .select(F.col("ab.u").alias("a"), F.col("ab.v").alias("b"),
+                   F.col("bc.v").alias("c")))
+    pern = (tri.select(F.col("a").alias("doc_id"))
+            .unionByName(tri.select(F.col("b").alias("doc_id")))
+            .unionByName(tri.select(F.col("c").alias("doc_id")))
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tri")))
+    deg = (e.select(F.col("u").alias("doc_id"))
+           .unionByName(e.select(F.col("v").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree")))
+    d, t = F.col("degree"), F.coalesce("n_tri", F.lit(0))
+    return (deg.join(pern, "doc_id", "left")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    d.cast("bigint").alias("degree"),
+                    t.cast("bigint").alias("n_triangles"),
+                    F.round(F.when(d >= 2, 2.0 * t / (d * (d - 1)))
+                            .otherwise(0.0), 4).alias("clustering"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------- containment
+@register("q_containment", sql="""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+win AS (SELECT doc_id, (i - 1) // 16 AS win,
+               md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS h
+        FROM toks,
+             UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+fp AS (SELECT DISTINCT doc_id, MIN(h) AS f
+       FROM win GROUP BY doc_id, win),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+           FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+       CAST(shared AS BIGINT) AS shared,
+       ROUND(shared * 1.0 / x.n, 4) AS contain_1_in_2,
+       ROUND(shared * 1.0 / y.n, 4) AS contain_2_in_1
+FROM shared s JOIN sz x ON s.id1 = x.doc_id JOIN sz y ON s.id2 = y.doc_id
+WHERE shared * 2 >= LEAST(x.n, y.n)
+ORDER BY id1, id2
+""")
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint containment (the MOSS-style asymmetric
+    near-dup measure: what fraction of doc A's fingerprints appear in
+    B — catches a page EMBEDDED in a larger page, which symmetric
+    Jaccard under-scores). Builds on q_winnow_fingerprints' window
+    minima: the fingerprint table is ~1/16 the shingle stream, the
+    equi-join on the 128-bit digest is uniform, and only pairs sharing
+    >= half the smaller doc's fingerprints survive. Integer-derived
+    ratios, portable."""
+    fp = (q_winnow_fingerprints(spark, sf_dir)
+          .select("doc_id", F.col("fingerprint").alias("f"))
+          .distinct())
+    sz = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (a.join(b, (F.col("a.f") == F.col("b.f"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("id1"),
+                       F.col("b.doc_id").alias("id2"))
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sh, nx, ny = F.col("shared"), F.col("x.n"), F.col("y.n")
+    return (shared
+            .join(sz.alias("x"),
+                  F.col("id1") == F.col("x.doc_id"))
+            .join(sz.alias("y"),
+                  F.col("id2") == F.col("y.doc_id"))
+            .filter(sh * 2 >= F.least(nx, ny))
+            .select(F.col("id1").cast("bigint").alias("id1"),
+                    F.col("id2").cast("bigint").alias("id2"),
+                    sh.cast("bigint").alias("shared"),
+                    F.round(sh * 1.0 / nx, 4).alias("contain_1_in_2"),
+                    F.round(sh * 1.0 / ny, 4).alias("contain_2_in_1"))
+            .orderBy("id1", "id2"))

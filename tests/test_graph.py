@@ -312,3 +312,38 @@ def test_run_extraction_with_model_archive(spark, tmp_path):
                          str(tmp_path / "o2"), resume=False,
                          weights_archive=arc)
     assert via["n_triples"] == base["n_triples"] > 0
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    """Invariant: merging edge batches incrementally lands on exactly
+    the assignment a full CC over the union computes — across three
+    successive batches, including brand-new nodes, batch-only
+    components, bridges that merge pre-existing components, and an
+    empty starting assignment."""
+    from pyspark.sql import functions as F
+
+    from dygiepp_spark.operators.cc import (cc_incremental,
+                                            connected_components)
+
+    def df(pairs):
+        return spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs],
+            "src bigint, dst bigint") if pairs else (
+            spark.range(0).select(
+                F.col("id").alias("src"), F.col("id").alias("dst")))
+
+    def collect(a):
+        return {(r.node, r.component) for r in a.collect()}
+
+    batches = [
+        [(1, 2), (3, 4), (10, 10)],          # initial graph + self-loop
+        [(2, 3), (20, 21)],                  # bridge 1-2-3-4; new comp
+        [(21, 4), (30, 30), (5, 1)],         # merge both; isolated; new
+    ]
+    # empty starting assignment: first batch is all first-seen nodes
+    assign = connected_components(df([]).limit(0))
+    seen: list = []
+    for b in batches:
+        seen += b
+        assign = cc_incremental(assign, df(b)).localCheckpoint()
+        assert collect(assign) == collect(connected_components(df(seen)))
