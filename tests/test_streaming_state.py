@@ -120,3 +120,52 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
             .agg(F.count(F.lit(1)).alias("n")).collect())}
     assert got == batch, (
         "stateful streaming session counts != batch sessionization")
+
+
+def test_stream_dedup_incremental_restart(spark, tmp_path):
+    """Streaming crawl-dedup loop: batch 1 drops its in-batch
+    near-pair; after a restart from the checkpoint, batch 2 is deduped
+    against the band-signature state batch 1 left behind — a near-copy
+    of an already-accepted doc is dropped, a fresh doc survives."""
+    import glob as _glob
+    import shutil
+
+    from dygiepp_spark.streaming.dedup_stream import (
+        stream_dedup_incremental)
+
+    def text(tag, n=30):
+        return " ".join(f"{tag}w{j}" for j in range(n))
+
+    docs_dir = str(tmp_path / "docs_in")
+    os.makedirs(docs_dir)
+    schema = "doc_id bigint, text string"
+
+    def drop_file(name, rows, age):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(docs_dir, f"{name}.parquet")
+        shutil.copy(part, dst)
+        now = 1_600_000_000
+        os.utime(dst, (now - age, now - age))
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    drop_file("a", [(1, text("a")), (2, text("b")),
+                    (3, text("a") + " tail"),   # in-batch near-dup of 1
+                    (4, text("c"))], age=100)
+    q = stream_dedup_incremental(spark, docs_dir, out, state, ckpt)
+    q.awaitTermination(180)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2, 4}, got1
+
+    # restart: new file, same checkpoint -> state from run 1 applies
+    drop_file("b", [(10, text("a") + " extra"),  # near-copy of doc 1
+                    (11, text("d"))], age=0)
+    q = stream_dedup_incremental(spark, docs_dir, out, state, ckpt)
+    q.awaitTermination(180)
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 2, 4, 11}, got2
