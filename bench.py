@@ -64,6 +64,14 @@ def _op_benches(spark, sf_dir: str) -> dict:
             emb, queries, k=10).count(),
         "op_ann_lsh": lambda: ann.lsh_topk(
             emb, queries, k=10, n_tables=8, bits=5).count(),
+        # steady-state crawl shape: dedup an odd-id "new batch" against
+        # the even-id corpus's band-signature state (xxhash64 fast
+        # path; the corpus-scale state is touched by ONE semi-join)
+        "op_lsh_incremental": lambda: dedup.lsh_dedup_incremental(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            dedup.lsh_band_table(
+                docs.filter(F.col("doc_id") % 2 == 0))
+            .select("band", "sig")).count(),
     }
 
 
@@ -275,6 +283,20 @@ def run_default() -> dict:
             break
     queries["op_cc_distributed"] = round(cc_dt, 3)
     steal["op_cc_distributed"] = mon.window_max(*cc_win)
+
+    # incremental-merge evidence on the SAME graph: solve a 90% subset
+    # outside the timed window, then time cc_incremental absorbing the
+    # remaining 10% batch — the steady-state crawl cost vs the full
+    # O(log n)-round recompute right above it
+    from dygiepp_spark.operators.cc import cc_incremental
+    inc_key = F.xxhash64("src", "dst") % 10
+    base_assign = connected_components(
+        cc_edges.filter(inc_key != 0)).localCheckpoint(eager=True)
+    t0 = time.time()
+    cc_incremental(base_assign, cc_edges.filter(inc_key == 0)).count()
+    t1 = time.time()
+    queries["op_cc_incremental"] = round(t1 - t0, 3)
+    steal["op_cc_incremental"] = mon.window_max(t0, t1)
     cc_distributed = {k: cc_best_stats.get(k) for k in
                       ("rounds", "converged", "n_raw_edges", "path")}
     # release localCheckpoint blocks pinned by the graph stage so the
