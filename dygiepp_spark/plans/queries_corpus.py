@@ -1325,3 +1325,123 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(sh * 1.0 / nx, 4).alias("contain_1_in_2"),
                     F.round(sh * 1.0 / ny, 4).alias("contain_2_in_1"))
             .orderBy("id1", "id2"))
+
+
+# ------------------------------------------------- repetition signals
+@register("q_repetition_signals", sql="""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents),
+tt AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+w AS (SELECT doc_id, UNNEST(tk) AS term FROM tt),
+wc AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY doc_id, term),
+ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(MAX(c) AS BIGINT) AS top_word_c
+       FROM wc GROUP BY doc_id),
+b AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM tt, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY doc_id, bigram),
+bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+              CAST(MAX(c) AS BIGINT) AS top_bigram_c
+       FROM bc GROUP BY doc_id)
+SELECT ws.doc_id, n_words,
+       ROUND(n_distinct * 1.0 / n_words, 4) AS distinct_word_ratio,
+       ROUND(top_word_c * 1.0 / n_words, 4) AS top_word_frac,
+       ROUND(top_bigram_c * 1.0 / n_bigrams, 4) AS top_bigram_frac
+FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+ORDER BY ws.doc_id
+""")
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher/MassiveText
+    family of filters: machine-generated and boilerplate pages repeat
+    tokens and n-grams far above natural-language rates). Emits, per
+    doc with >= 2 tokens: distinct-word ratio, the most-frequent
+    word's share of all words, and the most-frequent bigram's share of
+    all bigrams. Plan: token/bigram streams explode JVM-side, both
+    reductions are two map-side-combined groupBys keyed by doc (the
+    shuffles carry per-doc aggregates, never raw text), and the final
+    doc-level join co-partitions on doc_id. Ratios are integer-derived
+    and ROUNDed on both engines (portability invariant)."""
+    docs = _docs(spark, sf_dir)
+    tk = _toks()
+    did = F.col("doc_id").cast("bigint").alias("doc_id")
+    toks = (docs.filter(F.size(tk) >= 2)
+            .select(did, F.explode(tk).alias("term")))
+    wc = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("c")))
+    ws = (wc.groupBy("doc_id")
+          .agg(F.sum("c").cast("bigint").alias("n_words"),
+               F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+               F.max("c").cast("bigint").alias("top_word_c")))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i),
+                              F.element_at(tk, i + 1)))
+    bg = (docs.filter(F.size(tk) >= 2)
+          .select(did, F.explode(bigrams).alias("bigram")))
+    bc = (bg.groupBy("doc_id", "bigram")
+          .agg(F.count(F.lit(1)).alias("c")))
+    bs = (bc.groupBy("doc_id")
+          .agg(F.sum("c").cast("bigint").alias("n_bigrams"),
+               F.max("c").cast("bigint").alias("top_bigram_c")))
+    return (ws.join(bs, "doc_id")
+            .select("doc_id", "n_words",
+                    F.round(F.col("n_distinct") * 1.0
+                            / F.col("n_words"), 4)
+                    .alias("distinct_word_ratio"),
+                    F.round(F.col("top_word_c") * 1.0
+                            / F.col("n_words"), 4)
+                    .alias("top_word_frac"),
+                    F.round(F.col("top_bigram_c") * 1.0
+                            / F.col("n_bigrams"), 4)
+                    .alias("top_bigram_frac"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------- boilerplate lines
+@register("q_boilerplate_lines", sql="""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents),
+s AS (SELECT doc_id,
+             array_to_string(tk[(i * 16 + 1):(i * 16 + 16)], ' ') AS sent
+      FROM t,
+           UNNEST(generate_series(
+               0, CAST(ceil(len(tk) / 16.0) AS INT) - 1)) AS u(i)),
+agg AS (SELECT sent, COUNT(*) AS n_occ,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM s WHERE sent <> '' GROUP BY sent)
+SELECT sent, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occ AS BIGINT) AS n_occ
+FROM agg WHERE n_docs >= 3
+ORDER BY n_docs DESC, n_occ DESC, sent ASC
+""")
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated sentence chunks — the C4-style
+    line-level dedup signal (navigation bars, cookie banners, and
+    templated footers repeat verbatim across many pages; C4 drops any
+    line occurring >= 3 times in the corpus). Sentences follow the
+    repo's 16-token convention (q_token_stats' n_sentences). Plan:
+    chunking is a JVM-side sequence+transform+slice (no UDF), the only
+    shuffle is one map-side-combined groupBy on the sentence string
+    (at 10^12 docs key it by xxhash64(sent) and keep one exemplar —
+    same shape as exact dedup), and the >= 3-doc filter prunes the
+    aggregated table before the global sort."""
+    tk = _toks()
+    n_sent = F.ceil(F.size(tk) / F.lit(16.0)).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), n_sent - 1),
+        lambda i: F.concat_ws(" ", F.slice(tk, i * 16 + 1, F.lit(16))))
+    return (_docs(spark, sf_dir)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.explode(sents).alias("sent"))
+            .filter(F.col("sent") != "")
+            .groupBy("sent")
+            .agg(F.countDistinct("doc_id").cast("bigint")
+                 .alias("n_docs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+            .filter(F.col("n_docs") >= 3)
+            .select("sent", "n_docs", "n_occ")
+            .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(),
+                     F.col("sent").asc()))
