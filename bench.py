@@ -239,14 +239,19 @@ def run_default() -> dict:
 
     g = graph_stage()
     g_steal = mon.window_max(*g["window"])
-    # steal-aware retry: re-run ONLY when the monitor proves the
-    # first sample was contaminated (lock-holder preemption band,
-    # BASELINE.md round-3 diagnosis) — a quiet slow run is a real
-    # number and stands
-    if (g_steal.get("max_st_pct") or 0) > 1.0:
+    # steal-aware retry (VERDICT r4 item 5): re-run until the KEPT
+    # window is quiet (st <= ~5%), bounded at 4 attempts — a quiet
+    # slow run is a real number and stands; a contaminated one is the
+    # host's lock-holder-preemption band, not the plan. Prefer a quiet
+    # window over a faster contaminated one.
+    attempts = 1
+    while attempts < 4 and (g_steal.get("max_st_pct") or 0) > 5.0:
+        time.sleep(5)  # let the burst pass before resampling
         g2 = graph_stage()
-        if g2["sec"] < g["sec"]:
-            g, g_steal = g2, mon.window_max(*g2["window"])
+        s2 = mon.window_max(*g2["window"])
+        if (s2.get("max_st_pct") or 0) <= 5.0 or g2["sec"] < g["sec"]:
+            g, g_steal = g2, s2
+        attempts += 1
     n_nodes, n_edges = g["n_nodes"], g["n_edges"]
     queries["kg_graph"] = g["sec"]
     steal["kg_graph"] = g_steal
@@ -268,11 +273,14 @@ def run_default() -> dict:
                 .unionByName(mn.select(F.col("gid").alias("src"),
                                        F.col("gid").alias("dst"))))
     # cc is 5+ sequential shuffle rounds — the most steal-exposed
-    # stage in the suite; best-of-2 when the first sample looks hit
+    # stage in the suite; retry until the kept window is QUIET
+    # (st <= ~5%, VERDICT r4 item 5), bounded at 4 attempts. Among
+    # quiet samples keep the min; a quiet sample always beats a
+    # faster contaminated one.
     cc_dt = None
     cc_best_stats: dict = {}
-    cc_win = None
-    for _ in range(2):
+    cc_steal: dict = {}
+    for attempt in range(4):
         # fresh stats per attempt; keep the snapshot belonging to the
         # run whose time we report (the two runs can differ in rounds)
         cc_stats: dict = {}
@@ -280,12 +288,19 @@ def run_default() -> dict:
         connected_components(cc_edges, local_solve_max_edges=0,
                              stats=cc_stats).count()
         t1 = time.time()
-        if cc_dt is None or t1 - t0 < cc_dt:
-            cc_dt, cc_best_stats, cc_win = t1 - t0, cc_stats, (t0, t1)
-        if cc_dt < 15.0:
+        s = mon.window_max(t0, t1)
+        quiet = (s.get("max_st_pct") or 0) <= 5.0
+        kept_quiet = (cc_steal.get("max_st_pct") or 0) <= 5.0 \
+            if cc_dt is not None else False
+        if cc_dt is None or (quiet and not kept_quiet) \
+                or (quiet == kept_quiet and t1 - t0 < cc_dt):
+            cc_dt, cc_best_stats, cc_steal = t1 - t0, cc_stats, s
+        if quiet and cc_dt < 15.0:
             break
+        if not quiet:
+            time.sleep(5)
     queries["op_cc_distributed"] = round(cc_dt, 3)
-    steal["op_cc_distributed"] = mon.window_max(*cc_win)
+    steal["op_cc_distributed"] = cc_steal
 
     # incremental-merge evidence on the SAME graph: solve a 90% subset
     # outside the timed window, then time cc_incremental absorbing the
@@ -318,13 +333,17 @@ def run_default() -> dict:
         stage 10-25x; one retry is not enough when the burst spans
         both samples. Retry while the best sample still exceeds 5 s,
         up to 3 total runs, keep the min — and attribute the steal
-        evidence to the KEPT run's window."""
+        evidence to the KEPT run's window. A contaminated kept window
+        (st > 5%) also triggers a retry even when the sample was
+        fast-looking."""
         t0 = time.time()
         thunk()
         t1 = time.time()
         dt, win = t1 - t0, (t0, t1)
         tries = 1
-        while dt > 5.0 and tries < 3:
+        while tries < 3 and (
+                dt > 5.0
+                or (mon.window_max(*win).get("max_st_pct") or 0) > 5.0):
             t0 = time.time()
             thunk()
             t1 = time.time()
@@ -345,6 +364,13 @@ def run_default() -> dict:
     spark.stop()
     mon.stop()
     total = round(sum(queries.values()), 3)
+    # the per-stage kept-window steal map is LARGE; the driver's tail
+    # capture truncated the r04 final line mid-key ("parsed": null).
+    # Keep the printed line COMPACT (totals + per-query secs + two
+    # steal booleans) and write the full evidence to BENCH_DETAIL.json
+    # alongside the repo (VERDICT r4 item 2).
+    stage_st = [v.get("max_st_pct") for v in steal.values()
+                if v.get("max_st_pct") is not None]
     out = {
         "metric": "kg_pipeline_and_operator_suite_sec",
         "value": total,
@@ -358,15 +384,13 @@ def run_default() -> dict:
         "n_edges": n_edges,
         "docs_per_sec": ext["docs_per_sec"],
         "triples_per_sec": ext["triples_per_sec"],
-        "kg_graph_substages_sec": kg_graph_substages,
-        "cc_distributed": cc_distributed,
-        # quiet-window proof: max steal/system CPU pct observed inside
-        # each KEPT timing window (VERDICT r3 bench-hygiene item) —
-        # max_st_pct ~0 certifies the number wasn't inflated by
-        # lock-holder preemption; a high value flags the band
+        # quiet-window proof, compact form: steal_quiet certifies
+        # every kept timing window showed st <= 5% (lock-holder
+        # preemption band never contaminated a recorded number);
+        # per-stage detail lives in BENCH_DETAIL.json
         "steal_checked": True,
-        "steal_max_by_stage": steal,
-        "steal_overall": mon.overall_max(),
+        "steal_quiet": bool(stage_st) and max(stage_st) <= 5.0,
+        "steal_max_kept_window_pct": max(stage_st) if stage_st else None,
     }
     # surface the recorded N->4N evidence (see --scaling and
     # scripts/scaling_submit.sh) alongside the suite timings
@@ -381,6 +405,18 @@ def run_default() -> dict:
                     out[key] = json.load(f)["value"]
             except Exception:
                 pass
+    detail = dict(out)
+    detail.update({
+        "kg_graph_substages_sec": kg_graph_substages,
+        "cc_distributed": cc_distributed,
+        "steal_max_by_stage": steal,
+        "steal_overall": mon.overall_max(),
+    })
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=2)
+    except OSError:
+        pass  # read-only checkout: the compact line still prints
     return out
 
 

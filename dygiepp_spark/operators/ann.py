@@ -65,16 +65,29 @@ def _bucket_udf(dim: int | None, n_tables: int, bits: int, seed: int):
     `dim=None` derives the dimensionality from each Arrow batch's own
     vectors: planes are a pure function of (seed, dim), so every batch
     on every executor regenerates the SAME planes — no driver action
-    (first-row peek) needed anywhere. Passing `dim` keeps the old
-    behavior plus a shape assertion (catches ragged embedding
-    columns, which would otherwise silently bucket inconsistently)."""
+    (first-row peek) needed anywhere. Cross-batch consistency is
+    enforced: the first batch a worker sees pins the dim, and any later
+    batch with a different width fails loudly instead of silently
+    regenerating DIFFERENT planes and bucketing inconsistently (a
+    column uniform within batches but ragged across them would
+    otherwise pass the per-batch check). Passing `dim` asserts every
+    batch against the declared width — use it whenever upstream
+    uniformity isn't guaranteed, since per-worker pinning can't compare
+    widths across executors."""
+    pinned: list[int] = []  # closure cell, per python-worker process
 
     @F.pandas_udf("array<int>")
     def buckets(vecs: pd.Series) -> pd.Series:
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        d = mat.shape[1] if dim is None else dim
+        if dim is None:
+            if not pinned:
+                pinned.append(mat.shape[1])
+            d = pinned[0]
+        else:
+            d = dim
         assert mat.shape[1] == d, (
-            f"embedding dim {mat.shape[1]} != declared {d}")
+            f"embedding dim {mat.shape[1]} != expected {d} "
+            f"({'declared' if dim is not None else 'pinned from first batch'})")
         planes = np.asarray(_hyperplanes(d, n_tables, bits, seed),
                             dtype=np.float64)          # [T*B, dim]
         signs = (mat @ planes.T >= 0).astype(np.int64)  # [n, T*B]

@@ -50,10 +50,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     regardless of how wide the left's text/array payload is (the
     payload travels once as data, never again as key).
 
-    Non-groupable column types (maps) are excluded from the digest:
-    rows differing only in a map column (like rows colliding in the
-    hash) share a dup-group, which is harmless per the argument
-    above."""
+    Non-groupable column types (maps) are excluded from the digest.
+    The dup windows partition on (digest, on, left_ts) — the raw `on`
+    and `left_ts` columns ride along with the 8-byte digest (both
+    fixed-width, always groupable), so even a 2^-64 digest collision
+    between rows with DIFFERENT on/left_ts values cannot co-mingle
+    their ordinals: rows sharing a partition are interchangeable in
+    the only columns the as-of match reads, making ordinal assignment
+    provably result-stable under task retry / recomputation."""
     from pyspark.sql import types as T
 
     def _groupable(dt) -> bool:
@@ -69,7 +73,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                 if _groupable(f.dataType)]
     grp = (F.xxhash64(*[F.col(c) for c in key_cols])
            if key_cols else F.lit(0).cast("bigint"))
-    w_dup = Window.partitionBy("_l_grp").orderBy(F.lit(1))
+    w_dup = Window.partitionBy("_l_grp", on, left_ts).orderBy(F.lit(1))
     l = (left.withColumn("_l_grp", grp)
          .withColumn("_l_ord", F.row_number().over(w_dup))
          .alias("l"))
@@ -82,7 +86,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         cond = cond & (rts >= lts - F.expr(
             f"INTERVAL {tolerance_sec} SECOND"))
     joined = l.join(r, cond)
-    w = Window.partitionBy(F.col("l._l_grp"), F.col("l._l_ord")) \
+    w = Window.partitionBy(
+        F.col("l._l_grp"), F.col(f"l.{on}"), F.col(f"l.{left_ts}"),
+        F.col("l._l_ord")) \
         .orderBy(rts.desc(), F.col(f"r.{right_id}").desc())
     out_cols = [F.col(f"l.{c}").alias(c) for c in left.columns] + \
                [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]

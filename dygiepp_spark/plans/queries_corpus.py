@@ -1215,8 +1215,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_SIMHASH_CTE},
 pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
           FROM sh a JOIN sh b
-            ON (a.simhash >> 8) = (b.simhash >> 8)
-           AND a.doc_id < b.doc_id
+            ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
 tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
         FROM pairs ab JOIN pairs bc ON ab.v = bc.u
@@ -1240,13 +1239,19 @@ ORDER BY doc_id
 """)
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count + local clustering coefficient on the
-    simhash near-dup graph (same edge definition as
-    q_simhash_near_pairs). The triangle join is ORIENTED (a < b < c
-    via the u < v pair table), the standard skew bound: each triangle
-    is enumerated exactly once from its smallest vertex, so hub
-    vertices never fan out quadratically in both directions.
+    simhash near-dup graph. Edges come from the SCALE path —
+    operators/dedup.py::simhash_near_pairs_blocked (pigeonhole
+    multi-block tables, recall AND precision 1.0 vs brute-force
+    Hamming, certified by q_simhash_blocked_pairs' oracle) — so the
+    oracle's pairs CTE is brute-force all-pairs Hamming and there is
+    no 256-block quadratic hot spot anywhere in the lineage. The
+    triangle join is ORIENTED (a < b < c via the u < v pair table),
+    the standard skew bound: each triangle is enumerated exactly once
+    from its smallest vertex, so hub vertices never fan out
+    quadratically in both directions.
     Clustering = 2T / d(d-1) — an integer-derived ratio, portable."""
-    e = (q_simhash_near_pairs(spark, sf_dir)
+    from dygiepp_spark.operators.dedup import simhash_near_pairs_blocked
+    e = (simhash_near_pairs_blocked(_docs(spark, sf_dir), max_hamming=3)
          .select(F.col("id1").alias("u"), F.col("id2").alias("v")))
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (ab.join(bc, F.col("ab.v") == F.col("bc.u"))
@@ -1445,3 +1450,154 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("sent", "n_docs", "n_occ")
             .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(),
                      F.col("sent").asc()))
+
+
+# ------------------------------------------------- coref-cluster eval
+@register("q_eval_coref_prf", sql="""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  len(string_split_regex(trim(text), '\\s+')) AS n
+           FROM documents),
+pos AS (SELECT doc_id, UNNEST(generate_series(0, n - 2, 7)) AS p
+        FROM t WHERE n >= 2),
+gm AS (SELECT doc_id AS doc_key, (p // 7) % 4 AS cid,
+              p AS s, p + 1 AS e
+       FROM pos),
+pm AS (SELECT doc_id AS doc_key,
+              ((p // 7) + CASE WHEN doc_id % 4 = 0 AND (p // 7) % 2 = 0
+                               THEN 1 ELSE 0 END) % 4 AS cid,
+              p + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS s,
+              p + 1 + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS e
+       FROM pos WHERE (doc_id + p) % 9 <> 0),
+glink AS (SELECT DISTINCT a.doc_key,
+                 CAST(a.s AS VARCHAR) || '-' || CAST(a.e AS VARCHAR)
+                 || '-' || CAST(b.s AS VARCHAR) || '-'
+                 || CAST(b.e AS VARCHAR) AS item,
+                 'link' AS label
+          FROM gm a JOIN gm b
+            ON a.doc_key = b.doc_key AND a.cid = b.cid
+          WHERE a.s < b.s OR (a.s = b.s AND a.e < b.e)),
+plink AS (SELECT DISTINCT a.doc_key,
+                 CAST(a.s AS VARCHAR) || '-' || CAST(a.e AS VARCHAR)
+                 || '-' || CAST(b.s AS VARCHAR) || '-'
+                 || CAST(b.e AS VARCHAR) AS item,
+                 'link' AS label
+          FROM pm a JOIN pm b
+            ON a.doc_key = b.doc_key AND a.cid = b.cid
+          WHERE a.s < b.s OR (a.s = b.s AND a.e < b.e)),
+gsig AS (SELECT DISTINCT doc_key,
+                string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR),
+                           '|' ORDER BY CAST(s AS VARCHAR) || '-'
+                               || CAST(e AS VARCHAR)) AS item,
+                'cluster' AS label
+         FROM gm GROUP BY doc_key, cid),
+psig AS (SELECT DISTINCT doc_key,
+                string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR),
+                           '|' ORDER BY CAST(s AS VARCHAR) || '-'
+                               || CAST(e AS VARCHAR)) AS item,
+                'cluster' AS label
+         FROM pm GROUP BY doc_key, cid),
+gold AS (SELECT * FROM glink UNION ALL SELECT * FROM gsig),
+pred AS (SELECT * FROM plink UNION ALL SELECT * FROM psig),
+""" + _PRF_TAIL.format(keys="doc_key, item"))
+def q_eval_coref_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coref-cluster P/R/F1 via the REAL cluster-metric operators
+    (operators/evaluate.py::_cluster_links / _cluster_sigs /
+    prf_table — the reference's mention-link and exact-cluster
+    surfaces, ref:dygie/training/event_metrics.py coref analogue).
+    Gold = step-7 width-2 mention grid round-robined into 4 clusters
+    per doc; pred perturbs the PARTITION (not just ids): every 9th
+    mention dropped, even-indexed mentions moved one cluster over on
+    doc_id%4==0 docs, all spans shifted +1 on doc_id%6==0 docs.
+    Links and cluster signatures are canonicalized to one string item
+    key so a single prf_table call scores both surfaces ('link' /
+    'cluster' labels + micro __ALL__)."""
+    from dygiepp_spark.operators.evaluate import (_cluster_links,
+                                                  _cluster_sigs,
+                                                  prf_table)
+    pos = _eval_positions(spark, sf_dir, 2)
+    p, did = F.col("p"), F.col("doc_id")
+    ci = (p / 7).cast("int")
+    gm = pos.select(did.alias("doc_key"),
+                    (ci % 4).alias("cluster_id"),
+                    p.alias("start"), (p + 1).alias("end"))
+    move = F.when((did % 4 == 0) & (ci % 2 == 0), 1).otherwise(0)
+    shift = F.when(did % 6 == 0, 1).otherwise(0)
+    pm = (pos.filter((did + p) % 9 != 0)
+          .select(did.alias("doc_key"),
+                  ((ci + move) % 4).alias("cluster_id"),
+                  (p + shift).alias("start"),
+                  (p + 1 + shift).alias("end")))
+
+    def canon(m: DataFrame) -> DataFrame:
+        links = _cluster_links(m).select(
+            "doc_key",
+            F.format_string("%d-%d-%d-%d", "s1", "e1", "s2", "e2")
+            .alias("item"),
+            "label")
+        sigs = _cluster_sigs(m).select(
+            "doc_key", F.col("sig").alias("item"), "label")
+        return links.unionByName(sigs)
+
+    return prf_table(canon(pm), canon(gm), ["doc_key", "item", "label"])
+
+
+# ------------------------------------------------- streaming evidence
+@register("q_stream_dedup_evidence")  # rows-only: exercises the
+# Structured Streaming path end-to-end, not SQL-expressible in DuckDB
+def q_stream_dedup_evidence(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Runs streaming/dedup_stream.py::stream_dedup_incremental
+    (availableNow, maxFilesPerTrigger=1) over a deterministic 2-batch
+    fixture built from `documents` and returns per-epoch survivor
+    evidence. Batch 0 = even doc_ids < 240; batch 1 = fresh odd docs
+    plus REPLAYS of batch-0 texts under new ids (+1,000,000). The
+    replays share every MinHash band signature with their originals,
+    so the epoch-1 state join must drop them all: n_replayed_kept is
+    0 by construction, and the row counts are deterministic
+    (content-determined; the scratch dir name is not). Scratch lives
+    in a throwaway tempdir — created fresh per call so the checkpoint
+    never short-circuits a re-run."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from dygiepp_spark.streaming.dedup_stream import (
+        stream_dedup_incremental)
+
+    root = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    docs_dir = os.path.join(root, "in")
+    os.makedirs(docs_dir)
+    d = (_docs(spark, sf_dir)
+         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+         .filter(F.col("doc_id") < 240))
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    fresh = d.filter((F.col("doc_id") % 2 == 1)
+                     & (F.col("doc_id") % 3 != 0))
+    replay = (b1.filter(F.col("doc_id") % 4 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      "text"))
+    b2 = fresh.unionByName(replay)
+    # plain files ordered by mtime — the file-source contract
+    for i, batch in enumerate((b1, b2)):
+        stage = os.path.join(root, f"stage{i}")
+        batch.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(docs_dir, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1700000000 + i * 60,) * 2)
+    q = stream_dedup_incremental(
+        spark, docs_dir, os.path.join(root, "out"),
+        os.path.join(root, "state"), os.path.join(root, "ckpt"),
+        max_files_per_trigger=1)
+    q.awaitTermination()
+    surv = (spark.read.option("basePath", os.path.join(root, "out"))
+            .parquet(os.path.join(root, "out", "epoch=*")))
+    return (surv.groupBy("epoch")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+                 F.sum(F.when(F.col("doc_id") >= 1000000, 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_replayed_kept"))
+            .select(F.col("epoch").cast("bigint").alias("epoch"),
+                    "n_survivors", "n_replayed_kept")
+            .orderBy("epoch"))

@@ -43,13 +43,28 @@ def stream_dedup_incremental(spark: SparkSession, docs_dir: str,
                                str(max_files_per_trigger))
     stream = reader.parquet(docs_dir)
 
+    def _state_epochs_exist() -> bool:
+        # Explicit missing-path pre-check instead of a catch-all around
+        # the read: a bare `except Exception` would also swallow corrupt
+        # state parquet / transient FS errors, silently dedup against an
+        # EMPTY state, and permanently commit near-duplicates. Any real
+        # read failure must propagate and fail the batch (foreachBatch
+        # retries it).
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return False
+        return any(st.getPath().getName().startswith("epoch=")
+                   for st in fs.listStatus(path))
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        try:
+        if _state_epochs_exist():
             state = (spark.read.option("basePath", state_dir)
                      .parquet(f"{state_dir}/epoch=*")
                      .filter(F.col("epoch") != F.lit(int(epoch_id)))
                      .select("band", "sig"))
-        except Exception:
+        else:
             # first epoch: no state partitions exist yet
             state = spark.range(0).select(
                 F.col("id").alias("band"), F.col("id").alias("sig"))
