@@ -121,9 +121,10 @@ def _self_attend(emb: np.ndarray, w: dict) -> np.ndarray:
     token stream is chunked into OVERLAPPING C.ATTN_WINDOW-token
     windows strided by W/2 (the BERT max_length + stride convention
     the reference's mismatched transformer embedder applies to long
-    documents), through TWO transformer blocks of
+    documents), through TWO pre-LN transformer blocks of
     LayerNorm -> scaled-dot-product attention (C.ATTN_HEADS heads,
-    learned positions) -> residual -> LayerNorm -> tanh FFN.
+    learned positions) -> residual -> LayerNorm -> 4x-expansion GELU
+    FFN -> residual, then a final output LayerNorm.
     Each token's output is taken from the window where it is most
     central (fixed core regions [W/4, 3W/4) tiling the stride), so
     every interior token sees a full half-window of context on BOTH
@@ -132,11 +133,12 @@ def _self_attend(emb: np.ndarray, w: dict) -> np.ndarray:
     layer, so per-document cost is O(n · W · H · layers) with bounded
     peak memory — a 20k-token page is 625 windows, ~40 MB of scores.
 
-    Remaining simplifications vs a full BERT (documented seam, same
-    _encode signature the TorchScript swap replaces): 2 layers (not
-    12), tanh FFN without an expansion factor, post-block tanh keeps
-    activations bounded so the fixed null-bias decode calibration
-    stays in range. Deterministic: float32, fixed reduction order,
+    Remaining simplification vs a full BERT (documented seam, same
+    _encode signature the TorchScript swap replaces): 2 layers, not
+    12 — the block SHAPE now matches (pre-LN residual attention +
+    4x GELU FFN); the trailing LN's fixture gain re-pins the feature
+    scale the null-bias decode calibration assumes.
+    Deterministic: float32, fixed reduction order,
     window boundaries and core assignment depend only on token
     positions — identical across partitionings.
     """
@@ -162,8 +164,8 @@ def _self_attend(emb: np.ndarray, w: dict) -> np.ndarray:
         return m.reshape(n_win, win, heads, hd).transpose(0, 2, 1, 3)
 
     for suf in ("", "2"):
-        xn = nn.layer_norm(x, w[f"ln_a{suf or '1'}_g"],
-                           w[f"ln_a{suf or '1'}_b"])
+        blk = "1" if suf == "" else "2"
+        xn = nn.layer_norm(x, w[f"ln_a{blk}_g"], w[f"ln_a{blk}_b"])
         q = split(xn @ w[f"attn_q{suf}"])
         k = split(xn @ w[f"attn_k{suf}"])
         v = split(xn @ w[f"attn_v{suf}"])
@@ -174,10 +176,17 @@ def _self_attend(emb: np.ndarray, w: dict) -> np.ndarray:
         p = nn.softmax(sc, axis=-1)           # [n_win, heads, W, W]
         a = (p @ v).transpose(0, 2, 1, 3).reshape(n_win, win, h)
         x = (x + a @ w[f"attn_o{suf}"]).astype(F32)
-        fn = nn.layer_norm(x, w[f"ln_f{suf or '1'}_g"],
-                           w[f"ln_f{suf or '1'}_b"])
-        x = np.tanh(fn @ w[f"attn_f{suf}"]
-                    + w[f"attn_fb{suf}"]).astype(F32)
+        # pre-LN residual FFN with 4x expansion + GELU (M1 fidelity
+        # step 3) — the standard transformer sublayer shape
+        fn = nn.layer_norm(x, w[f"ln_f{blk}_g"], w[f"ln_f{blk}_b"])
+        hmid = nn.gelu(fn @ w[f"ffn{blk}_w1"] + w[f"ffn{blk}_b1"])
+        x = (x + hmid @ w[f"ffn{blk}_w2"]
+             + w[f"ffn{blk}_b2"]).astype(F32)
+
+    # final output LayerNorm: residual sublayers leave x unbounded,
+    # so this re-pins the feature scale (gain OUT_LN_GAIN, see
+    # weights.py) that the null-bias decode calibration assumes
+    x = nn.layer_norm(x, w["ln_out_g"], w["ln_out_b"])
 
     # core gather: token i comes from window clip((i - W/4) // S)
     pos = np.arange(n)

@@ -44,6 +44,18 @@ def relu(x: np.ndarray) -> np.ndarray:
     return np.maximum(x, F32(0))
 
 
+def gelu(x: np.ndarray) -> np.ndarray:
+    """GELU, tanh approximation (the BERT-family FFN activation;
+    ref:dygie embedder transformer blocks). float32, fixed reduction
+    order — deterministic across partitionings like the rest of the
+    kernel."""
+    x = x.astype(F32)
+    c = F32(0.7978845608028654)  # sqrt(2/pi)
+    return (F32(0.5) * x
+            * (F32(1) + np.tanh(c * (x + F32(0.044715) * x * x * x)))
+            ).astype(F32)
+
+
 def sigmoid(x: np.ndarray) -> np.ndarray:
     return F32(1) / (F32(1) + np.exp(-x.astype(F32)))
 

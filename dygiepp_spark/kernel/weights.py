@@ -27,9 +27,19 @@ F32 = np.float32
 # represented (a trained model would learn these; the fixture pins
 # them).
 NULL_BIAS_NER = 1.4
-NULL_BIAS_REL = 0.9
+NULL_BIAS_REL = 0.55
 NULL_BIAS_TRIG = 0.8
-NULL_BIAS_ARG = 0.5
+NULL_BIAS_ARG = 0.8
+
+# Output-LN gain (round 5, M1 fidelity step 3): the residual GELU FFN
+# removes the per-block tanh bound, so a final LayerNorm re-pins the
+# contextual feature scale. Calibrated by sf0.001 sweep (gain in
+# 0.16..0.36, then rel/arg bias fine-tune) to land the per-kind
+# decode rates on the round-4 operating point: full sf0.001 corpus
+# decodes to 20,898 triples {coref 8395, ner 6028, rel 4208,
+# arg 1394, event 873} vs round-4's 21,050 {8395, 5913, 4474, 1319,
+# 949} — within 7% per kind, all five kinds represented.
+OUT_LN_GAIN = 0.25
 
 
 def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
@@ -86,7 +96,8 @@ def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
     # sliding-window multi-head self-attention encoder (M1) — appended
     # after piece_emb (round-3 draws; earlier matrices keep their
     # values). Position embedding per within-window offset + Q/K/V/
-    # output projections + the post-attention tanh FFN.
+    # output projections (+ attn_f/attn_fb: the round-3 tanh FFN,
+    # unused since the round-5 GELU FFN but retained in draw order).
     w["pos_emb"] = mat(C.ATTN_WINDOW, H)
     w["attn_q"] = mat(H, H)
     w["attn_k"] = mat(H, H)
@@ -100,8 +111,22 @@ def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
     w["attn_k2"] = mat(H, H)
     w["attn_v2"] = mat(H, H)
     w["attn_o2"] = mat(H, H)
-    w["attn_f2"] = mat(H, H)
+    w["attn_f2"] = mat(H, H)  # retained draws (unused since round 5)
     w["attn_fb2"] = np.zeros(H, dtype=F32)
+    # M1 fidelity step 3 (round 5): 4x-expansion GELU FFN per block —
+    # the standard transformer FFN shape (W2·gelu(W1·LN(x)) with a
+    # residual) replacing the square tanh projection. Appended after
+    # every round-4 draw so all earlier matrices keep their pinned
+    # values; attn_f/attn_f2 stay IN the draw order (now unused) for
+    # the same reason.
+    w["ffn1_w1"] = mat(H, 4 * H)
+    w["ffn1_b1"] = np.zeros(4 * H, dtype=F32)
+    w["ffn1_w2"] = mat(4 * H, H)
+    w["ffn1_b2"] = np.zeros(H, dtype=F32)
+    w["ffn2_w1"] = mat(H, 4 * H)
+    w["ffn2_b1"] = np.zeros(4 * H, dtype=F32)
+    w["ffn2_w2"] = mat(4 * H, H)
+    w["ffn2_b2"] = np.zeros(H, dtype=F32)
     # LayerNorm params (no rng draws, so the fixture draw order above
     # is untouched). Attention-side gains use the standard ones init;
     # FFN-side gains are initialized at 0.25 so the block's tanh
@@ -115,6 +140,13 @@ def build_weights(seed: int = C.SEED) -> dict[str, np.ndarray]:
     for ln in ("ln_f1", "ln_f2"):
         w[f"{ln}_g"] = np.full(H, 0.25, dtype=F32)
         w[f"{ln}_b"] = np.zeros(H, dtype=F32)
+    # final output LayerNorm (round 5): with residual FFN sublayers
+    # the block output is no longer tanh-bounded, so a trailing LN
+    # pins the contextual-feature scale the downstream null-bias
+    # calibration was tuned against (a trained model would learn this
+    # gain; the fixture sets it — see OUT_LN_GAIN calibration note).
+    w["ln_out_g"] = np.full(H, OUT_LN_GAIN, dtype=F32)
+    w["ln_out_b"] = np.zeros(H, dtype=F32)
     w["ner_b"][0] = F32(NULL_BIAS_NER)
     w["rel_b"][0] = F32(NULL_BIAS_REL)
     w["t_b2"][0] = F32(NULL_BIAS_TRIG)

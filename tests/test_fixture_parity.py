@@ -43,7 +43,7 @@ def test_oracle_matches_committed_golden():
              for d in _docs()]
     got = decode_corpus(pairs).reset_index(drop=True)
     want = pd.read_csv(GOLDEN)
-    assert len(got) == len(want) == 563
+    assert len(got) == len(want) == 1413
     key = ["url", "kind", "subj", "pred", "obj", "subj_start",
            "subj_end", "obj_start", "obj_end", "sent_id"]
     got_k = got[key].astype(str)
