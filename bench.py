@@ -150,7 +150,7 @@ def _session(cores: int):
 
 def run_extraction_bench(spark, sf_dir: str, cores: int,
                          replicas: int = 1, warmup: bool = True,
-                         retries: int = 2) -> dict:
+                         retries: int = 2, mon=None) -> dict:
     """The headline job: pages -> decode -> triples, counted.
 
     The sandbox parquet is one split, so repartition to cores*3 — a
@@ -180,17 +180,28 @@ def run_extraction_bench(spark, sf_dir: str, cores: int,
             from_html=True).count()
     # best-of-`retries` on the headline number too: a steal burst
     # during a single timed window otherwise understates the engine
-    # by 2-10x (callers doing their own best-of pass retries=1)
+    # by 2-10x (callers doing their own best-of pass retries=1).
+    # When a StealMonitor is provided, keep retrying (up to 2 extra
+    # attempts) while the KEPT window is contaminated (st > 5%) so
+    # the headline docs/sec never ships with a dirty window when a
+    # quiet one is obtainable.
     dt = None
     kept_win = None
-    for _ in range(max(retries, 1)):
+    attempts = 0
+    max_attempts = max(retries, 1) + (2 if mon is not None else 0)
+    while attempts < max_attempts:
         t0 = time.time()
         triples = extract_triples(pages, from_html=True)
         n_triples = triples.count()
         t1 = time.time()
         if dt is None or t1 - t0 < dt:
             dt, kept_win = t1 - t0, (t0, t1)
-        if dt < 5.0:
+        attempts += 1
+        kept_st = (mon.window_max(*kept_win).get("max_st_pct") or 0) \
+            if mon is not None else 0.0
+        if attempts >= max(retries, 1) and kept_st <= 5.0:
+            break
+        if dt < 5.0 and kept_st <= 5.0:
             break
     return {"n_docs": n_docs, "n_triples": n_triples,
             "elapsed_sec": round(dt, 3),
@@ -206,7 +217,7 @@ def run_default() -> dict:
     mon = StealMonitor().start()
     steal: dict[str, dict] = {}
 
-    ext = run_extraction_bench(spark, SF_DIR, CPUS)
+    ext = run_extraction_bench(spark, SF_DIR, CPUS, mon=mon)
     steal["kg_extract"] = mon.window_max(*ext["kept_window"])
     queries["kg_extract"] = ext["elapsed_sec"]
 
@@ -243,9 +254,14 @@ def run_default() -> dict:
     # window is quiet (st <= ~5%), bounded at 4 attempts — a quiet
     # slow run is a real number and stands; a contaminated one is the
     # host's lock-holder-preemption band, not the plan. Prefer a quiet
-    # window over a faster contaminated one.
+    # window over a faster contaminated one. At least one retry always
+    # runs: the stage is the suite's most variable (the host has a
+    # milder degraded mode with st ~0 but ballooned sys CPU that the
+    # st check can't see — measured 45 s vs a 22-28 s standalone
+    # steady state on identical input).
     attempts = 1
-    while attempts < 4 and (g_steal.get("max_st_pct") or 0) > 5.0:
+    while attempts < 4 and (attempts < 2
+                            or (g_steal.get("max_st_pct") or 0) > 5.0):
         time.sleep(5)  # let the burst pass before resampling
         g2 = graph_stage()
         s2 = mon.window_max(*g2["window"])
