@@ -769,16 +769,73 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- graph analytics
-@register("doc_pagerank")
+def _pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """UNROLLED fixed-iteration PageRank oracle. Recursive CTEs forbid
+    aggregation in the recursive term, but bounded iteration doesn't
+    need recursion: emit one (contrib, dangling, rank) CTE block per
+    iteration. Arithmetic mirrors operators/pagerank.py term for term
+    — base (1-d)/n, share rank/outdeg, d*(inflow + dangling/n) — so
+    after ROUND(...,8) the value hash certifies the distributed
+    power iteration, not a reimplementation of it.
+
+    Every multiply-referenced CTE is `AS MATERIALIZED`: DuckDB 1.0's
+    default heuristic INLINES chained CTEs, and each r{{k}} references
+    r{{k-1}} twice (contrib + dangling) — un-hinted, the 8-iteration
+    chain expands the whole MinHash pipeline 2^8 times and the query
+    never finishes (measured hang)."""
+    head = f"""WITH {_BANDS_CTE},
+cand AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+edges AS MATERIALIZED (SELECT src, dst FROM cand
+          UNION ALL SELECT dst AS src, src AS dst FROM cand),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+           FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank
+                    FROM nodes)"""
+    blocks = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        blocks.append(f""",
+c{k} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(r.rank / o.outdeg) AS inflow
+        FROM r{p} r JOIN outdeg o ON r.node = o.src
+        JOIN edges e ON e.src = o.src
+        GROUP BY e.dst),
+d{k} AS MATERIALIZED (
+        SELECT COALESCE(SUM(r.rank), 0.0) AS dangling
+        FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+        WHERE o.src IS NULL),
+r{k} AS MATERIALIZED (
+        SELECT n.node,
+               (1.0 - {damping}) / (SELECT n FROM nn)
+               + {damping} * (COALESCE(c.inflow, 0.0)
+                              + (SELECT dangling FROM d{k})
+                                / (SELECT n FROM nn)) AS rank
+        FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""")
+    tail = f"""
+SELECT CAST(node AS BIGINT) AS doc_id, ROUND(rank, 8) AS rank
+FROM r{iters} ORDER BY doc_id"""
+    return head + "".join(blocks) + tail
+
+
+@register("doc_pagerank", sql=_pagerank_sql(iters=8, damping=0.85))
 def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the (symmetrized) LSH near-dup candidate graph —
     iterative power iteration as DataFrame joins
-    (operators/pagerank.py). Rows-only by design: bounded-iteration
-    PageRank needs aggregation over the recursive term, which SQL
-    recursive CTEs forbid; correctness is certified instead against a
-    dense numpy power iteration to 1e-9
+    (operators/pagerank.py), ALSO certified to 1e-9 against a dense
+    numpy power iteration
     (tests/test_graph.py::test_pagerank_matches_dense_power_iteration).
-    """
+    Oracle-twinned since round 5: the DuckDB side unrolls the same 8
+    iterations as chained CTEs (_pagerank_sql) — identical term
+    structure, so ROUND(...,8) hash equality certifies the
+    distributed join/agg pipeline end to end. Both sides carry the
+    dangling-mass fold even though the symmetrized graph has none
+    (it evaluates to exactly 0.0 in each engine)."""
     from dygiepp_spark.operators.pagerank import pagerank
     bands = _bands_df(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
@@ -1601,3 +1658,183 @@ def q_stream_dedup_evidence(spark: SparkSession,
             .select(F.col("epoch").cast("bigint").alias("epoch"),
                     "n_survivors", "n_replayed_kept")
             .orderBy("epoch"))
+
+
+# ------------------------------------------------- decontamination
+_G8 = ("||' '||".join(f"{{v}}[i+{j}]" for j in range(1, 8)))
+
+
+def _g8_sql(var: str) -> str:
+    return f"{var}[i]||' '||" + _G8.format(v=var)
+
+
+@register("q_decontaminate", sql=f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents),
+cg AS (SELECT DISTINCT doc_id,
+              UNNEST(list_transform(generate_series(1, len(tk) - 7),
+                     i -> {_g8_sql('tk')})) AS g
+       FROM t WHERE len(tk) >= 8),
+bt AS (SELECT doc_id AS bench_id, tk[1:16] AS btk
+       FROM t WHERE doc_id % 53 = 0),
+bg AS (SELECT DISTINCT bench_id,
+              UNNEST(list_transform(generate_series(1, len(btk) - 7),
+                     i -> {_g8_sql('btk')})) AS g
+       FROM bt WHERE len(btk) >= 8)
+SELECT CAST(cg.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_shared,
+       CAST(COUNT(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
+FROM cg JOIN bg ON cg.g = bg.g
+GROUP BY cg.doc_id ORDER BY doc_id
+""")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the step every LLM training
+    pipeline runs before a corpus ships: flag training documents
+    sharing >= 1 verbatim 8-gram with an eval set (the n-gram
+    convention of GPT-3/Llama contamination checks). The eval set is
+    synthesized deterministically as the first 16 tokens of every
+    doc_id%53==0 document (evals quote corpus text, so the source
+    docs are guaranteed hits — nonzero by construction). Plan: both
+    shingle streams are JVM-side sequence+transform (no UDF), the
+    contamination check is ONE equi-join sharded on the gram string —
+    uniform keys except true boilerplate; at 10^12 docs drop grams
+    with df above a cap first (same hot-shingle guard as
+    operators/dedup.py::_drop_hot_shingles) and key by xxhash64(gram)
+    so the shuffle carries 8-byte keys."""
+    tk = _toks()
+
+    def grams8(col):
+        return F.when(
+            F.size(col) >= 8,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(col) - 7),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(col, i + j) for j in range(8)]),
+            ))).otherwise(F.array().cast("array<string>"))
+
+    docs = _docs(spark, sf_dir)
+    cg = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     F.explode(grams8(tk)).alias("g"))
+    btk = F.slice(tk, 1, 16)
+    bg = (docs.filter(F.col("doc_id") % 53 == 0)
+          .select(F.col("doc_id").cast("bigint").alias("bench_id"),
+                  F.explode(grams8(btk)).alias("g")))
+    return (cg.join(bg, "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").cast("bigint").alias("n_shared"),
+                 F.countDistinct("bench_id").cast("bigint")
+                 .alias("n_bench_docs"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------- stratified sample
+@register("q_stratified_sample", sql="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE CASE WHEN lang = 'en' THEN substr(md5(text), 1, 1) = '0'
+      ELSE substr(md5(text), 1, 1) IN ('0', '1', '2', '3') END
+ORDER BY doc_id
+""")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified deterministic sampling — the
+    training-mix rebalance step: downsample the majority language
+    (en keeps 1/16 by first md5 nibble) while minority languages keep
+    4/16. Content-hash thresholds, not rand(): the same document
+    always lands in the same split across engines, reruns, and
+    resumes. At 10^12 docs this is a pushed-down filter on computed
+    columns — zero shuffles, zero coordination, and per-group rates
+    change by editing a literal map."""
+    nib = F.substring(F.md5("text"), 1, 1)
+    keep = F.when(F.col("lang") == "en", nib == "0") \
+        .otherwise(nib.isin("0", "1", "2", "3"))
+    return (_docs(spark, sf_dir)
+            .filter(keep)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "lang")
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------- sequence packing
+@register("q_pack_sequences", sql="""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(doc_id % 4 AS INT) AS shard,
+                  CAST(len(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS off
+      FROM t)
+SELECT doc_id, shard, CAST(off // 512 AS BIGINT) AS pack_id, n_tokens
+FROM c ORDER BY doc_id
+""")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing — assign documents to fixed
+    token-budget training packs (512 tokens here): pack_id =
+    floor(exclusive-cumulative-tokens / budget) in deterministic
+    doc_id order, the standard concat-and-split pretraining layout.
+    Scale shape: packing is PER SHARD (doc_id % 4), so the cumulative
+    window is K parallel partition-local sorts, never a global
+    single-partition window; at 10^12 docs K is thousands and each
+    shard's window is one task. Integer arithmetic end to end —
+    bit-portable to the oracle."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        F.size(_toks()).cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (t.withColumn("off", F.coalesce(F.sum("n_tokens").over(w),
+                                           F.lit(0)))
+            .select("doc_id", "shard",
+                    F.floor(F.col("off") / 512).cast("bigint")
+                    .alias("pack_id"),
+                    "n_tokens")
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------- rare-token ratio
+@register("q_rare_token_ratio", sql="""
+WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text),
+                    '\\s+')) AS tok
+             FROM documents),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+per AS (SELECT t.doc_id, COUNT(*) AS n_tok,
+               SUM(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS n_rare
+        FROM tok t JOIN df ON t.tok = df.tok GROUP BY t.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_rare AS BIGINT) AS n_rare,
+       ROUND(n_rare * 1.0 / n_tok, 6) AS rare_ratio
+FROM per ORDER BY doc_id
+""")
+def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token ratio per document — a corpus-statistics quality
+    signal (high ratio = OCR garbage / codepoint soup / wrong-language
+    fragments; the unigram-LM cousin of the Gopher filters): fraction
+    of token occurrences whose corpus document-frequency is <= 2.
+    Plan: one map-side-combined df aggregation, one equi-join of the
+    token stream against the df table (both shard on the token
+    string; at 10^12 docs key by xxhash64(token) and broadcast the
+    Zipf head), one per-doc aggregation. Ratio is integer-derived —
+    bit-portable."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.explode(_toks()).alias("tok"))
+    dfreq = (tok.groupBy("tok")
+             .agg(F.countDistinct("doc_id").alias("df")))
+    per = (tok.join(dfreq, "tok")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tok"),
+                F.sum(F.when(F.col("df") <= 2, 1).otherwise(0))
+                .alias("n_rare")))
+    return (per.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.col("n_rare").cast("bigint").alias("n_rare"),
+        F.round(F.col("n_rare") * 1.0 / F.col("n_tok"), 6)
+        .alias("rare_ratio"))
+        .orderBy("doc_id"))
