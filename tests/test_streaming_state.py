@@ -169,3 +169,22 @@ def test_stream_dedup_incremental_restart(spark, tmp_path):
     q.awaitTermination(180)
     got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got2 == {1, 2, 4, 11}, got2
+
+
+def test_stream_dedup_evidence_query(spark):
+    """The registered driver-facing streaming query: 2 deterministic
+    epochs, replayed batch-0 texts must all be dropped by the state
+    join, and re-running gives identical counts (fresh scratch per
+    call — the checkpoint can't short-circuit)."""
+    from dygiepp_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.epoch: r for r in
+            QUERIES["q_stream_dedup_evidence"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].n_survivors > 0 and rows[1].n_survivors > 0
+    assert rows[0].n_replayed_kept == 0
+    assert rows[1].n_replayed_kept == 0  # every replay deduped
+    again = {r.epoch: r.n_survivors for r in
+             QUERIES["q_stream_dedup_evidence"](spark, SF_SMOKE).collect()}
+    assert again == {e: r.n_survivors for e, r in rows.items()}
