@@ -1838,3 +1838,33 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_rare") * 1.0 / F.col("n_tok"), 6)
         .alias("rare_ratio"))
         .orderBy("doc_id"))
+
+
+# ------------------------------------------------- label centroids
+@register("q_label_centroid", sql="""
+SELECT CAST(label AS INT) AS label, CAST(i - 1 AS INT) AS dim,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 5) AS mean_val
+FROM embeddings,
+     UNNEST(generate_series(1, len(embedding))) AS u(i)
+GROUP BY label, i
+ORDER BY label, dim
+""")
+def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the vector
+    aggregation every embedding-space pipeline needs (IVF coarse
+    training, per-class drift monitoring, nearest-centroid
+    classification). Plan: posexplode the vector ONCE and run one
+    map-side-combined (label, dim) average — the shuffle carries
+    n_labels x dim partial sums, never vectors; at 10^12 rows this is
+    the same two-phase mean as any scalar agg. Values ROUND(,5) —
+    float64 accumulation over different orders agrees far below that.
+    """
+    emb = _emb(spark, sf_dir)
+    return (emb.select(F.col("label").cast("int").alias("label"),
+                       F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 5)
+                 .alias("mean_val"))
+            .select("label", F.col("dim").cast("int").alias("dim"),
+                    "mean_val")
+            .orderBy("label", "dim"))

@@ -61,11 +61,13 @@ _ROTATED_BELOW_FOLD = [
     "q_running_value", "q_event_gaps", "q_event_windows",
     "q_lang_dist", "q_quality_score", "q_quality_filter",
     "q_fingerprint",
-    # round-5 additions to make room for the four new pipeline twins
+    # round-5 additions to make room for the five new pipeline twins
     # (q_decontaminate, q_stratified_sample, q_pack_sequences,
-    # q_rare_token_ratio) inside the 50-entry window
+    # q_rare_token_ratio, q_label_centroid) inside the 50-entry
+    # window. q_simhash's convention stays certified transitively:
+    # both in-fold pair twins recompute the same fingerprint CTE.
     "q_token_stats", "q_langid_heuristic", "q_minhash_signatures",
-    "q_embedding_stats",
+    "q_embedding_stats", "q_simhash",
 ]
 for _n in _ROTATED_BELOW_FOLD:
     if _n in QUERIES:
