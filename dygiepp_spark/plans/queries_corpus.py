@@ -1868,3 +1868,63 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("label", F.col("dim").cast("int").alias("dim"),
                     "mean_val")
             .orderBy("label", "dim"))
+
+
+# ------------------------------------------------- label propagation
+def _lpa_sql(iters: int = 4) -> str:
+    """Unrolled synchronous LPA oracle (same MATERIALIZED-CTE pattern
+    as _pagerank_sql — DuckDB 1.0 inlines chained CTEs exponentially
+    otherwise). Integer counts + min-label ties: bit-portable."""
+    head = f"""WITH {_BANDS_CTE},
+cand AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+edges AS MATERIALIZED (SELECT src, dst FROM cand
+          UNION SELECT dst AS src, src AS dst FROM cand),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+                    FROM edges)"""
+    blocks = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        blocks.append(f""",
+v{k} AS MATERIALIZED (
+    SELECT e.src AS node, l.label, COUNT(*) AS cnt
+    FROM edges e JOIN l{p} l ON l.node = e.dst
+    GROUP BY e.src, l.label),
+l{k} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                   ORDER BY cnt DESC, label ASC) AS rk
+        FROM v{k}) WHERE rk = 1)""")
+    tail = f"""
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(label AS BIGINT) AS community
+FROM l{iters} ORDER BY doc_id"""
+    return head + "".join(blocks) + tail
+
+
+@register("q_communities", sql=_lpa_sql(iters=4))
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the LSH near-dup candidate graph via
+    synchronous label propagation (operators/lpa.py — the GraphFrames
+    labelPropagation analogue with a deterministic min-label
+    tie-break). Complements q_doc_components: CC gives reachability
+    blobs, LPA the densely-linked communities inside them. The oracle
+    unrolls the same 4 rounds as chained MATERIALIZED CTEs — integer
+    vote counts end to end, so the hash match is exact."""
+    from dygiepp_spark.operators.lpa import label_propagation
+    bands = _bands_df(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("src"),
+                    F.col("b.doc_id").alias("dst"))
+            .distinct())
+    return (label_propagation(cand, iters=4)
+            .select(F.col("node").cast("bigint").alias("doc_id"),
+                    F.col("label").cast("bigint").alias("community"))
+            .orderBy("doc_id"))

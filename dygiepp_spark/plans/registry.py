@@ -68,6 +68,9 @@ _ROTATED_BELOW_FOLD = [
     # both in-fold pair twins recompute the same fingerprint CTE.
     "q_token_stats", "q_langid_heuristic", "q_minhash_signatures",
     "q_embedding_stats", "q_simhash",
+    # q_containment (in-fold) exercises the same winnowing fingerprint
+    # stream; makes room for q_communities (LPA)
+    "q_winnow_fingerprints",
 ]
 for _n in _ROTATED_BELOW_FOLD:
     if _n in QUERIES:

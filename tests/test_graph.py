@@ -347,3 +347,23 @@ def test_cc_incremental_equals_full_recompute(spark):
         seen += b
         assign = cc_incremental(assign, df(b)).localCheckpoint()
         assert collect(assign) == collect(connected_components(df(seen)))
+
+
+def test_label_propagation_toy_communities(spark):
+    """Two triangles bridged by one edge: sync min-label LPA must
+    keep each triangle a single community and never merge them
+    (the bridge is outvoted 2:1 on both sides every round)."""
+    from dygiepp_spark.operators.lpa import label_propagation
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src bigint, dst bigint")
+    got = {r.node: r.label for r in
+           label_propagation(edges, iters=4).collect()}
+    assert len(got) == 6
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+    # deterministic across re-runs (sync rounds + min-label ties)
+    again = {r.node: r.label for r in
+             label_propagation(edges, iters=4).collect()}
+    assert again == got
