@@ -1647,7 +1647,12 @@ def q_stream_dedup_evidence(spark: SparkSession,
         spark, docs_dir, os.path.join(root, "out"),
         os.path.join(root, "state"), os.path.join(root, "ckpt"),
         max_files_per_trigger=1)
-    q.awaitTermination()
+    # bounded wait: a registered query must never hang a driver sweep;
+    # availableNow over 2 tiny files finishes in ~15 s — 300 s is a
+    # generous ceiling, after which we stop the stream and let the
+    # read below fail loudly on whatever is missing
+    if not q.awaitTermination(300):
+        q.stop()
     surv = (spark.read.option("basePath", os.path.join(root, "out"))
             .parquet(os.path.join(root, "out", "epoch=*")))
     return (surv.groupBy("epoch")
