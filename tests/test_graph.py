@@ -367,3 +367,27 @@ def test_label_propagation_toy_communities(spark):
     again = {r.node: r.label for r in
              label_propagation(edges, iters=4).collect()}
     assert again == got
+
+
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                min_size=1, max_size=20))
+@settings(max_examples=5, deadline=None)
+def test_label_propagation_refines_components(spark, pairs):
+    """Invariant on random graphs: LPA communities REFINE connected
+    components — a community never spans two components (labels only
+    travel along edges), and every label is a node id from the same
+    component."""
+    from dygiepp_spark.operators.cc import _local_union_find
+    from dygiepp_spark.operators.lpa import label_propagation
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    got = {r.node: r.label for r in
+           label_propagation(edges, iters=3).collect()}
+    comp = dict(_local_union_find(pairs))
+    nodes = {n for ab in pairs for n in ab}
+    assert set(got) == nodes
+    for node, label in got.items():
+        assert label in nodes
+        assert comp[label] == comp[node], (node, label)
