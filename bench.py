@@ -324,6 +324,16 @@ def run_default() -> dict:
     queries["op_cc_distributed"] = round(cc_dt, 3)
     steal["op_cc_distributed"] = cc_steal
 
+    # label propagation (round 5) on the SAME materialized edge set:
+    # 4 synchronous vote rounds — join + map-side-combined count +
+    # rank-1 window per round
+    from dygiepp_spark.operators.lpa import label_propagation
+    t0 = time.time()
+    label_propagation(cc_edges, iters=4).count()
+    t1 = time.time()
+    queries["op_lpa"] = round(t1 - t0, 3)
+    steal["op_lpa"] = mon.window_max(t0, t1)
+
     # incremental-merge evidence on the SAME graph: solve a 90% subset
     # outside the timed window, then time cc_incremental absorbing the
     # remaining 10% batch — the steady-state crawl cost vs the full
