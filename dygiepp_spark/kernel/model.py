@@ -497,3 +497,174 @@ def triples_rows(url: str, text: str, w: dict,
         rows.append((url, "coref", span_text(tokens, s1, e1), "coref_with",
                      span_text(tokens, s2, e2), s1, e1, s2, e2, sid1, score))
     return rows
+
+
+def _log_softmax(logits: np.ndarray) -> np.ndarray:
+    """Numerically stable log-softmax over the last axis (float32,
+    fixed reduction order — same determinism contract as decode)."""
+    x = logits.astype(F32)
+    m = np.max(x, axis=-1, keepdims=True)
+    z = x - m
+    return (z - np.log(np.sum(np.exp(z), axis=-1,
+                              keepdims=True))).astype(F32)
+
+
+def loss_document(url: str, text: str, gold: dict, w: dict) -> dict:
+    """M11: multi-task evaluation-mode loss for ONE document — the
+    per-task negative log-likelihoods DyGIE++ sums during training
+    (ref:dygie/models/dygie.py::DyGIE forward loss accumulation),
+    computed against frozen weights. Training itself stays out of
+    scope (frozen fixture, per SURVEY); this is the distributed
+    EVALUATION of the training signal — the corpus-scale "how far is
+    this model from this gold" measurement a data pipeline runs when
+    curating fine-tuning sets.
+
+    The forward pass mirrors decode_document STEP FOR STEP (encode ->
+    span enumeration -> mention beam -> propagation -> per-head
+    logits) without touching it — decode goldens stay pinned; kernel
+    parity (Spark vs oracle) holds by construction since both call
+    this verbatim.
+
+    `gold` (doc-level token indices, flat lists):
+      ner:       [(start, end, label_str), ...]
+      relations: [(s1, e1, s2, e2, label_str), ...]
+      triggers:  [(pos, label_str), ...]
+      args:      [(trig_pos, start, end, label_str), ...]
+    Gold items outside the model's hypothesis space (span wider than
+    the enumeration limit, pair outside the pruned beam) are
+    unreachable exactly as in the reference's pruned training and are
+    dropped. Candidate sets: NER = every enumerated span; relations =
+    ordered same-sentence beam pairs; triggers = every token;
+    args = GOLD trigger tokens x same-sentence beam spans (teacher
+    forcing). Per task returns (n candidates, summed NLL); coref's
+    marginalized antecedent likelihood is excluded (the reference's
+    SciERC config trains coref separately — documented seam).
+    """
+    sentences, _ = capped_sentences(text)
+    tokens = [t for s in sentences for t in s]
+    n = len(tokens)
+    zero = {"n": 0, "nll": 0.0}
+    out = {"url": url, "n_tokens": n,
+           "ner": dict(zero), "relation": dict(zero),
+           "trigger": dict(zero), "arg": dict(zero)}
+    if n == 0:
+        return out
+    sent_lens = [len(s) for s in sentences]
+    sent_offsets = np.cumsum([0] + sent_lens[:-1])
+
+    # forward, mirroring decode_document M1-M5
+    h = _encode(tokens, w)
+    starts_l, ends_l, sids_l = [], [], []
+    for sid, (off, slen) in enumerate(zip(sent_offsets, sent_lens)):
+        sp = enumerate_spans(slen)
+        starts_l.append(sp[:, 0] + off)
+        ends_l.append(sp[:, 1] + off)
+        sids_l.append(np.full(len(sp), sid, dtype=np.int64))
+    starts = np.concatenate(starts_l)
+    ends = np.concatenate(ends_l)
+    sids = np.concatenate(sids_l)
+    wb = width_buckets(starts, ends, C.WIDTH_BUCKETS)
+    g = np.concatenate([h[starts], h[ends], w["width_emb"][wb]], axis=1)
+    m_scores = nn.ffn(g, w["m_w1"], w["m_b1"],
+                      w["m_w2"], w["m_b2"]).ravel()
+    keep = _beam_keep(m_scores, starts, ends, sids, sent_lens,
+                      C.SPANS_PER_WORD)
+    p_idx = np.nonzero(keep)[0]
+    gp, _, _ = _propagate(g[p_idx], m_scores[p_idx], w, C.PROP_ITERS)
+    g[p_idx] = gp
+
+    def _lab_idx(labels: list[str]) -> dict[str, int]:
+        return {lab: i for i, lab in enumerate(labels)}
+
+    # NER: every enumerated span scored, gold label or null
+    ner_gold = {(int(s), int(e)): _lab_idx(C.NER_LABELS).get(lab, 0)
+                for s, e, lab in gold.get("ner", [])}
+    span_gold = np.zeros(len(starts), dtype=np.int64)
+    for i in range(len(starts)):
+        span_gold[i] = ner_gold.get((int(starts[i]), int(ends[i])), 0)
+    nll = 0.0
+    for s0 in range(0, len(starts), SPAN_BLOCK):
+        s1 = min(s0 + SPAN_BLOCK, len(starts))
+        hs, he = h[starts[s0:s1]], h[ends[s0:s1]]
+        ner_tmp = np.tensordot(hs, w["ner_u"], axes=([1], [1]))
+        ner_bil = (ner_tmp * he[:, None, :]).sum(axis=2)
+        ner_logits = ner_bil + g[s0:s1] @ w["ner_w"].T + w["ner_b"]
+        lp = _log_softmax(ner_logits)
+        nll -= float(lp[np.arange(s1 - s0), span_gold[s0:s1]].sum())
+    out["ner"] = {"n": int(len(starts)), "nll": nll}
+
+    # relations: same sentence-group blocking as decode M7
+    rel_gold = {(int(a), int(b), int(c), int(d)):
+                _lab_idx(C.REL_LABELS).get(lab, 0)
+                for a, b, c, d, lab in gold.get("relations", [])}
+    beam_sids = sids[p_idx]
+    groups: list[np.ndarray] = []
+    g_start = 0
+    while g_start < p_idx.size:
+        g_end = g_start
+        while g_end < p_idx.size:
+            sid_end = beam_sids[g_end]
+            nxt = np.searchsorted(beam_sids, sid_end, side="right")
+            if nxt - g_start > PAIR_BLOCK and g_end > g_start:
+                break
+            g_end = nxt
+        groups.append(np.arange(g_start, g_end))
+        g_start = g_end
+    r_n, r_nll = 0, 0.0
+    for grp in groups:
+        if grp.size < 2:
+            continue
+        sel = p_idx[grp]
+        gk = g[sel]
+        logits = nn.biaffine(gk, gk, w["rel_u"], w["rel_w"], w["rel_b"])
+        lp = _log_softmax(logits)
+        same_sent = sids[sel][:, None] == sids[sel][None, :]
+        valid = same_sent & ~np.eye(grp.size, dtype=bool)
+        for a, b in np.argwhere(valid):
+            ia, ib = sel[a], sel[b]
+            gl = rel_gold.get((int(starts[ia]), int(ends[ia]),
+                               int(starts[ib]), int(ends[ib])), 0)
+            r_nll -= float(lp[a, b, gl])
+            r_n += 1
+    out["relation"] = {"n": r_n, "nll": r_nll}
+
+    # triggers: every token
+    trig_gold = {int(p): _lab_idx(C.TRIGGER_LABELS).get(lab, 0)
+                 for p, lab in gold.get("triggers", [])}
+    t_logits = nn.ffn(h, w["t_w1"], w["t_b1"], w["t_w2"], w["t_b2"])
+    t_lp = _log_softmax(t_logits)
+    tok_gold = np.zeros(n, dtype=np.int64)
+    for p, gi in trig_gold.items():
+        if 0 <= p < n:
+            tok_gold[p] = gi
+    out["trigger"] = {"n": n,
+                      "nll": -float(t_lp[np.arange(n), tok_gold].sum())}
+
+    # arguments: gold trigger tokens x same-sentence beam spans
+    arg_gold = {(int(t), int(s), int(e)):
+                _lab_idx(C.ARG_LABELS).get(lab, 0)
+                for t, s, e, lab in gold.get("args", [])}
+    tok_sid = np.repeat(np.arange(len(sent_lens)), sent_lens)
+    gold_trigs = np.array(sorted(p for p in trig_gold if 0 <= p < n),
+                          dtype=np.int64)
+    a_n, a_nll = 0, 0.0
+    if gold_trigs.size and p_idx.size:
+        trig_sids = tok_sid[gold_trigs]
+        for grp in groups:
+            sel = p_idx[grp]
+            grp_sids = sids[sel]
+            t_mask = np.isin(trig_sids, np.unique(grp_sids))
+            tg = gold_trigs[t_mask]
+            if tg.size == 0:
+                continue
+            logits = nn.biaffine(h[tg], g[sel], w["arg_u"],
+                                 w["arg_w"], w["arg_b"])
+            lp = _log_softmax(logits)
+            same_sent = tok_sid[tg][:, None] == grp_sids[None, :]
+            for ti, j in np.argwhere(same_sent):
+                gl = arg_gold.get((int(tg[ti]), int(starts[sel[j]]),
+                                   int(ends[sel[j]])), 0)
+                a_nll -= float(lp[ti, j, gl])
+                a_n += 1
+    out["arg"] = {"n": a_n, "nll": a_nll}
+    return out

@@ -1933,3 +1933,63 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node").cast("bigint").alias("doc_id"),
                     F.col("label").cast("bigint").alias("community"))
             .orderBy("doc_id"))
+
+
+# ------------------------------------------------- multi-task loss
+@register("q_task_loss")  # rows-only: needs the model forward —
+# certified instead by exact Spark==numpy equality + teacher-forcing
+# sanity pytest (tests/test_operators.py)
+def q_task_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 as a query: per-document per-task evaluation NLL of the
+    frozen model against a deterministic gold grid (step-7 anchors:
+    width-2 NER spans, consecutive-anchor relations, anchor triggers,
+    trigger->next-span arguments — labels round-robined over the real
+    vocabularies). One narrow mapInPandas to build gold, one to score
+    (operators/loss.py) — zero shuffles, exactly the extraction
+    plan's shape. Rows are per-(doc, task) and produced wholly inside
+    one worker each, so the output is bit-deterministic without any
+    cross-partition float accumulation."""
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from dygiepp_spark import config as _C
+    from dygiepp_spark.operators.loss import task_losses
+
+    def mk_gold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                toks = r.text.strip().split()
+                m = len(toks)
+                ner, rel, trig, args = [], [], [], []
+                p = 0
+                while p + 1 <= m - 1:
+                    k = p // 7
+                    ner.append((p, p + 1,
+                                _C.NER_LABELS[1 + k % 4]))
+                    trig.append((p, _C.TRIGGER_LABELS[1 + k % 2]))
+                    if p + 8 <= m - 1:
+                        rel.append((p, p + 1, p + 7, p + 8,
+                                    _C.REL_LABELS[1 + k % 3]))
+                        args.append((p, p + 7, p + 8,
+                                     _C.ARG_LABELS[1 + k % 3]))
+                    p += 7
+                rows.append((f"doc://{int(r.doc_id)}", r.text,
+                             _json.dumps({"ner": ner, "relations": rel,
+                                          "triggers": trig,
+                                          "args": args})))
+            yield pd.DataFrame(rows,
+                               columns=["url", "text", "gold_json"])
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .mapInPandas(mk_gold, "url string, text string, "
+                                  "gold_json string"))
+    return (task_losses(docs)
+            .select("url", "task",
+                    F.col("n_items").cast("bigint").alias("n_items"),
+                    F.round("nll", 6).alias("nll"),
+                    F.round("mean_nll", 6).alias("mean_nll"))
+            .orderBy("url", "task"))

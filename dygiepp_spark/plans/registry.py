@@ -71,6 +71,9 @@ _ROTATED_BELOW_FOLD = [
     # q_containment (in-fold) exercises the same winnowing fingerprint
     # stream; makes room for q_communities (LPA)
     "q_winnow_fingerprints",
+    # 0 rows at sf0.01 for 4 green rounds (q_dedup_exact_stats stays
+    # in-fold); makes room for q_task_loss (M11)
+    "q_dedup_exact_groups",
 ]
 for _n in _ROTATED_BELOW_FOLD:
     if _n in QUERIES:

@@ -544,3 +544,67 @@ def test_extract_with_broadcast_archive(spark, tmp_path):
                                weights_bc=bc2).toPandas()
     assert (via_arc2["kind"] == "event").sum() == 0
     assert (base["kind"] == "event").sum() > 0
+
+
+def test_task_losses_matches_numpy_oracle(spark):
+    """M11 parity: the distributed loss rows equal the single-process
+    numpy path EXACTLY (same kernel, per-doc rows, no cross-partition
+    accumulation), and teacher forcing sanity holds — gold that
+    matches the model's own decode scores a strictly lower NER NLL
+    than a label-rotated corruption of the same gold."""
+    import json
+
+    import duckdb
+
+    from dygiepp_spark import config as C
+    from dygiepp_spark.kernel.model import decode_document
+    from dygiepp_spark.kernel.weights import get_weights
+    from dygiepp_spark.operators.loss import loss_rows, task_losses
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"select doc_id, text from read_parquet("
+        f"'{SF_SMOKE}/documents.parquet') order by doc_id limit 40"
+    ).fetchall()
+    con.close()
+    w = get_weights()
+
+    # gold = the model's OWN decode (teacher forcing: the reachable,
+    # maximally-agreeing gold)
+    def self_gold(url, text):
+        d = decode_document(url, text, w)
+        return {
+            "ner": [(s, e, lab) for _, s, e, lab, _ in d["mentions"]],
+            "relations": [(s1, e1, s2, e2, lab) for _, s1, e1, s2, e2,
+                          lab, _ in d["relations"]],
+            "triggers": [(t, lab) for _, t, lab, _ in d["triggers"]],
+            "args": [],
+        }
+
+    golds = {f"doc://{i}": self_gold(f"doc://{i}", t) for i, t in docs}
+    rows_np = []
+    for (i, t) in docs:
+        rows_np.extend(loss_rows(f"doc://{i}", t, golds[f"doc://{i}"], w))
+
+    sdf = spark.createDataFrame(
+        [(f"doc://{i}", t, json.dumps(golds[f"doc://{i}"]))
+         for i, t in docs],
+        "url string, text string, gold_json string")
+    rows_spark = [tuple(r) for r in
+                  task_losses(sdf).orderBy("url", "task").collect()]
+    assert sorted(rows_np) == sorted(rows_spark)
+
+    # corrupt: rotate every gold NER label by one -> NER NLL must rise
+    # (on the first doc whose decode emits any mention)
+    url0, t0 = next((f"doc://{i}", t) for i, t in docs
+                    if golds[f"doc://{i}"]["ner"])
+    g_ok = golds[url0]
+    rot = {lab: C.NER_LABELS[(C.NER_LABELS.index(lab) % 4) + 1]
+           for lab in C.NER_LABELS[1:]}
+    g_bad = dict(g_ok)
+    g_bad["ner"] = [(s, e, rot[lab]) for s, e, lab in g_ok["ner"]]
+    nll_ok = dict((r[1], r[3]) for r in loss_rows(url0, t0, g_ok, w))
+    nll_bad = dict((r[1], r[3]) for r in loss_rows(url0, t0, g_bad, w))
+    assert nll_bad["ner"] > nll_ok["ner"]
+    assert nll_bad["trigger"] == nll_ok["trigger"]  # untouched head
