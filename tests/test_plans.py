@@ -172,3 +172,64 @@ def test_compact_table_binpacks_small_files(spark, tmp_path):
     b = spark.read.parquet(dst)
     assert b.count() == 10000
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_round5_query_plans_have_no_quadratic_joins(spark):
+    """Plan-shape guards for the round-5 pipeline queries: no
+    cartesian / nested-loop join anywhere (decontamination and
+    triangles must stay equi-joins on gram / block keys), and
+    sequence packing's cumulative window must partition by the shard
+    column — a global (empty-partition) window would serialize the
+    corpus through one task."""
+    from dygiepp_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    for name in ("q_decontaminate", "q_triangles"):
+        p = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    pack = _plan(QUERIES["q_pack_sequences"](spark, SF_SMOKE))
+    assert "windowspecdefinition(shard" in pack
+    assert "windowspecdefinition(doc_id" not in pack.split(
+        "windowspecdefinition(shard")[0]
+
+
+def test_pack_sequences_budget_invariant(spark):
+    """Semantic invariant: within each (shard, pack) the EXCLUSIVE
+    cumulative token count at each member is < 512 (a doc may
+    overflow its pack — streaming-pack semantics — but a new pack
+    must start as soon as the budget is reached)."""
+    from dygiepp_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    pdf = (QUERIES["q_pack_sequences"](spark, SF_SMOKE).toPandas()
+           .sort_values(["shard", "doc_id"]))
+    for shard, grp in pdf.groupby("shard"):
+        cum = 0
+        for r in grp.itertuples(index=False):
+            assert r.pack_id == cum // 512, (shard, r.doc_id)
+            cum += r.n_tokens
+
+
+def test_decontaminate_flags_every_bench_source(spark):
+    """Every eval-set source doc whose first 16 tokens contain an
+    8-gram must flag itself (its own grams are verbatim in the
+    corpus), with n_bench_docs >= 1."""
+    import duckdb
+
+    from dygiepp_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    expected = {r[0] for r in con.execute(
+        f"""SELECT doc_id FROM read_parquet(
+              '{SF_SMOKE}/documents.parquet')
+            WHERE doc_id % 53 = 0
+              AND len(string_split_regex(trim(text), '\\s+')) >= 8"""
+    ).fetchall()}
+    con.close()
+    got = {r.doc_id: r.n_bench_docs for r in
+           QUERIES["q_decontaminate"](spark, SF_SMOKE).collect()}
+    for d in expected:
+        assert d in got and got[d] >= 1, d
