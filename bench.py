@@ -194,7 +194,17 @@ def run_extraction_bench(spark, sf_dir: str, cores: int,
         triples = extract_triples(pages, from_html=True)
         n_triples = triples.count()
         t1 = time.time()
-        if dt is None or t1 - t0 < dt:
+        # keep-rule mirrors the graph stages: quiet beats contaminated
+        # (a fast sample inside a steal burst must not displace a
+        # quiet one), min elapsed among equal quietness
+        def _quiet(win) -> bool:
+            if mon is None or win is None:
+                return True
+            return (mon.window_max(*win).get("max_st_pct") or 0) <= 5.0
+
+        new_quiet, kept_quiet = _quiet((t0, t1)), _quiet(kept_win)
+        if dt is None or (new_quiet and not kept_quiet) or (
+                new_quiet == kept_quiet and t1 - t0 < dt):
             dt, kept_win = t1 - t0, (t0, t1)
         attempts += 1
         kept_st = (mon.window_max(*kept_win).get("max_st_pct") or 0) \
@@ -265,7 +275,14 @@ def run_default() -> dict:
         time.sleep(5)  # let the burst pass before resampling
         g2 = graph_stage()
         s2 = mon.window_max(*g2["window"])
-        if (s2.get("max_st_pct") or 0) <= 5.0 or g2["sec"] < g["sec"]:
+        # same keep-rule as the cc loop below: a quiet sample beats a
+        # contaminated one; among equal quietness keep the min — a
+        # quiet-but-degraded slow retry must NOT displace a quiet fast
+        # first run, nor a contaminated-but-fast retry a quiet one
+        quiet2 = (s2.get("max_st_pct") or 0) <= 5.0
+        quiet1 = (g_steal.get("max_st_pct") or 0) <= 5.0
+        if (quiet2 and not quiet1) or (quiet2 == quiet1
+                                       and g2["sec"] < g["sec"]):
             g, g_steal = g2, s2
         attempts += 1
     n_nodes, n_edges = g["n_nodes"], g["n_edges"]

@@ -296,6 +296,67 @@ def capped_sentences(text: str) -> tuple[list[list[str]], bool]:
     return split_sentences(toks), truncated
 
 
+def _forward(tokens: list[str], sent_lens: list[int],
+             w: dict) -> tuple:
+    """Shared forward pass M1–M5 (encode -> span enumeration -> span
+    reprs -> mention beam -> propagation), extracted verbatim from
+    decode_document so decode_document and loss_document score the
+    IDENTICAL hypothesis space — a decode-forward change cannot
+    silently diverge from the M11 loss (the bit-identity of this
+    refactor is certified by the pinned decode goldens).
+    Returns (h, starts, ends, sids, g, m_scores, p_idx)."""
+    sent_offsets = np.cumsum([0] + sent_lens[:-1])
+
+    h = _encode(tokens, w)                                    # [n, H]
+
+    # M2: enumerate spans per sentence, doc-level indices,
+    # (sent_id, start, end) order.
+    starts_l, ends_l, sids_l = [], [], []
+    for sid, (off, slen) in enumerate(zip(sent_offsets, sent_lens)):
+        sp = enumerate_spans(slen)
+        starts_l.append(sp[:, 0] + off)
+        ends_l.append(sp[:, 1] + off)
+        sids_l.append(np.full(len(sp), sid, dtype=np.int64))
+    starts = np.concatenate(starts_l)
+    ends = np.concatenate(ends_l)
+    sids = np.concatenate(sids_l)
+
+    # M3: span representations g = [h_start; h_end; width_emb]
+    wb = width_buckets(starts, ends, C.WIDTH_BUCKETS)
+    g = np.concatenate([h[starts], h[ends], w["width_emb"][wb]], axis=1)
+
+    # M4: mention scores + relation beam (W1)
+    m_scores = nn.ffn(g, w["m_w1"], w["m_b1"], w["m_w2"], w["m_b2"]).ravel()
+    keep = _beam_keep(m_scores, starts, ends, sids, sent_lens,
+                      C.SPANS_PER_WORD)
+    p_idx = np.nonzero(keep)[0]          # document order (sid, start, end)
+
+    # M5: propagation over the pruned beam (document-level)
+    gp, _, _ = _propagate(g[p_idx], m_scores[p_idx], w, C.PROP_ITERS)
+    g[p_idx] = gp                         # propagated reprs feed M6/M7/M9
+    return h, starts, ends, sids, g, m_scores, p_idx
+
+
+def _sentence_groups(beam_sids: np.ndarray) -> list[np.ndarray]:
+    """Sentence-group blocking for the pair heads (M7/M9): contiguous
+    whole-sentence runs of the beam, each capped near PAIR_BLOCK spans
+    — shared by decode_document and loss_document (same extraction
+    contract as _forward)."""
+    groups: list[np.ndarray] = []
+    g_start = 0
+    while g_start < beam_sids.size:
+        g_end = g_start
+        while g_end < beam_sids.size:
+            sid_end = beam_sids[g_end]
+            nxt = np.searchsorted(beam_sids, sid_end, side="right")
+            if nxt - g_start > PAIR_BLOCK and g_end > g_start:
+                break
+            g_end = nxt
+        groups.append(np.arange(g_start, g_end))
+        g_start = g_end
+    return groups
+
+
 def decode_document(url: str, text: str, w: dict) -> dict:
     """Full forward + decode for one document. Returns dict of plain
     lists (JSON-able), mirroring the predicted_* fields of SURVEY.md
@@ -313,36 +374,10 @@ def decode_document(url: str, text: str, w: dict) -> dict:
         return out
 
     sent_lens = [len(s) for s in sentences]
-    sent_offsets = np.cumsum([0] + sent_lens[:-1])
 
-    h = _encode(tokens, w)                                    # [n, H]
-
-    # M2: enumerate spans per sentence, doc-level indices,
-    # (sent_id, start, end) order.
-    starts_l, ends_l, sids_l = [], [], []
-    for sid, (off, slen) in enumerate(zip(sent_offsets, sent_lens)):
-        sp = enumerate_spans(slen)
-        starts_l.append(sp[:, 0] + off)
-        ends_l.append(sp[:, 1] + off)
-        sids_l.append(np.full(len(sp), sid, dtype=np.int64))
-    starts = np.concatenate(starts_l)
-    ends = np.concatenate(ends_l)
-    sids = np.concatenate(sids_l)
+    h, starts, ends, sids, g, m_scores, p_idx = _forward(
+        tokens, sent_lens, w)
     out["n_spans"] = int(len(starts))
-
-    # M3: span representations g = [h_start; h_end; width_emb]
-    wb = width_buckets(starts, ends, C.WIDTH_BUCKETS)
-    g = np.concatenate([h[starts], h[ends], w["width_emb"][wb]], axis=1)
-
-    # M4: mention scores + relation beam (W1)
-    m_scores = nn.ffn(g, w["m_w1"], w["m_b1"], w["m_w2"], w["m_b2"]).ravel()
-    keep = _beam_keep(m_scores, starts, ends, sids, sent_lens,
-                      C.SPANS_PER_WORD)
-    p_idx = np.nonzero(keep)[0]          # document order (sid, start, end)
-
-    # M5: propagation over the pruned beam (document-level)
-    gp, _, _ = _propagate(g[p_idx], m_scores[p_idx], w, C.PROP_ITERS)
-    g[p_idx] = gp                         # propagated reprs feed M6/M7/M9
 
     # M6: biaffine NER over ALL spans:
     # logit[i,l] = h_sᵀ U_l h_e + w_l·g_i + b_l  [BASELINE biaffine]
@@ -384,19 +419,7 @@ def decode_document(url: str, text: str, w: dict) -> dict:
     # per-sentence loop, but one matmul per ≤PAIR_BLOCK spans, so both
     # speed (few BLAS calls/doc) and memory (O(PAIR_BLOCK²·L)) are
     # bounded for arbitrarily long documents.
-    beam_sids = sids[p_idx]
-    groups: list[np.ndarray] = []
-    g_start = 0
-    while g_start < p_idx.size:
-        g_end = g_start
-        while g_end < p_idx.size:
-            sid_end = beam_sids[g_end]
-            nxt = np.searchsorted(beam_sids, sid_end, side="right")
-            if nxt - g_start > PAIR_BLOCK and g_end > g_start:
-                break
-            g_end = nxt
-        groups.append(np.arange(g_start, g_end))
-        g_start = g_end
+    groups = _sentence_groups(sids[p_idx])
     for grp in groups:
         if grp.size < 2:
             continue
@@ -519,9 +542,10 @@ def loss_document(url: str, text: str, gold: dict, w: dict) -> dict:
     this model from this gold" measurement a data pipeline runs when
     curating fine-tuning sets.
 
-    The forward pass mirrors decode_document STEP FOR STEP (encode ->
-    span enumeration -> mention beam -> propagation -> per-head
-    logits) without touching it — decode goldens stay pinned; kernel
+    The forward pass IS decode_document's forward — both call the
+    shared _forward/_sentence_groups helpers, so the loss always
+    scores exactly the hypothesis space the decode emits from, and a
+    decode-forward change propagates here automatically. Kernel
     parity (Spark vs oracle) holds by construction since both call
     this verbatim.
 
@@ -550,28 +574,8 @@ def loss_document(url: str, text: str, gold: dict, w: dict) -> dict:
     if n == 0:
         return out
     sent_lens = [len(s) for s in sentences]
-    sent_offsets = np.cumsum([0] + sent_lens[:-1])
-
-    # forward, mirroring decode_document M1-M5
-    h = _encode(tokens, w)
-    starts_l, ends_l, sids_l = [], [], []
-    for sid, (off, slen) in enumerate(zip(sent_offsets, sent_lens)):
-        sp = enumerate_spans(slen)
-        starts_l.append(sp[:, 0] + off)
-        ends_l.append(sp[:, 1] + off)
-        sids_l.append(np.full(len(sp), sid, dtype=np.int64))
-    starts = np.concatenate(starts_l)
-    ends = np.concatenate(ends_l)
-    sids = np.concatenate(sids_l)
-    wb = width_buckets(starts, ends, C.WIDTH_BUCKETS)
-    g = np.concatenate([h[starts], h[ends], w["width_emb"][wb]], axis=1)
-    m_scores = nn.ffn(g, w["m_w1"], w["m_b1"],
-                      w["m_w2"], w["m_b2"]).ravel()
-    keep = _beam_keep(m_scores, starts, ends, sids, sent_lens,
-                      C.SPANS_PER_WORD)
-    p_idx = np.nonzero(keep)[0]
-    gp, _, _ = _propagate(g[p_idx], m_scores[p_idx], w, C.PROP_ITERS)
-    g[p_idx] = gp
+    h, starts, ends, sids, g, m_scores, p_idx = _forward(
+        tokens, sent_lens, w)
 
     def _lab_idx(labels: list[str]) -> dict[str, int]:
         return {lab: i for i, lab in enumerate(labels)}
@@ -597,19 +601,7 @@ def loss_document(url: str, text: str, gold: dict, w: dict) -> dict:
     rel_gold = {(int(a), int(b), int(c), int(d)):
                 _lab_idx(C.REL_LABELS).get(lab, 0)
                 for a, b, c, d, lab in gold.get("relations", [])}
-    beam_sids = sids[p_idx]
-    groups: list[np.ndarray] = []
-    g_start = 0
-    while g_start < p_idx.size:
-        g_end = g_start
-        while g_end < p_idx.size:
-            sid_end = beam_sids[g_end]
-            nxt = np.searchsorted(beam_sids, sid_end, side="right")
-            if nxt - g_start > PAIR_BLOCK and g_end > g_start:
-                break
-            g_end = nxt
-        groups.append(np.arange(g_start, g_end))
-        g_start = g_end
+    groups = _sentence_groups(sids[p_idx])
     r_n, r_nll = 0, 0.0
     for grp in groups:
         if grp.size < 2:

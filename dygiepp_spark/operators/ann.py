@@ -66,15 +66,16 @@ def _bucket_udf(dim: int | None, n_tables: int, bits: int, seed: int):
     vectors: planes are a pure function of (seed, dim), so every batch
     on every executor regenerates the SAME planes — no driver action
     (first-row peek) needed anywhere. Cross-batch consistency is
-    enforced: the first batch a worker sees pins the dim, and any later
-    batch with a different width fails loudly instead of silently
-    regenerating DIFFERENT planes and bucketing inconsistently (a
-    column uniform within batches but ragged across them would
-    otherwise pass the per-batch check). Passing `dim` asserts every
-    batch against the declared width — use it whenever upstream
-    uniformity isn't guaranteed, since per-worker pinning can't compare
-    widths across executors."""
-    pinned: list[int] = []  # closure cell, per python-worker process
+    enforced PER TASK: Spark re-deserializes the UDF closure for each
+    task, so the first batch a task sees pins the dim and any later
+    batch in that task with a different width fails loudly. That
+    catches within-partition raggedness only — a column whose widths
+    differ BETWEEN partitions (uniform within each) still buckets
+    under incompatible hash families with no error, because no task
+    ever sees both widths. Pass `dim` explicitly whenever cross-
+    partition uniformity isn't guaranteed upstream; it asserts every
+    batch everywhere against the one declared width."""
+    pinned: list[int] = []  # closure cell — scope is ONE task (see above)
 
     @F.pandas_udf("array<int>")
     def buckets(vecs: pd.Series) -> pd.Series:

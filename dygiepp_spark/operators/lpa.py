@@ -38,17 +38,25 @@ def label_propagation(edges: DataFrame, iters: int = 4,
                       dst_col: str = "dst") -> DataFrame:
     """edges: UNDIRECTED pairs (each edge counted once per direction —
     pass a symmetrized table, or this symmetrizes internally).
-    Returns (node, label) after `iters` synchronous rounds."""
+    Returns (node, label) after `iters` synchronous rounds — one row
+    for EVERY node appearing in the input, including nodes whose only
+    edge is a self-loop (they keep their own label; self-loops never
+    vote). Callers like bench.py pass CC's edge set, whose explicit
+    (gid, gid) rows exist precisely to keep singletons alive — LPA
+    must not silently drop them."""
     e0 = edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
+    # node set BEFORE the self-loop filter: self-loop-only nodes stay
+    nodes = (e0.select(F.col("src").alias("node"))
+             .unionByName(e0.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
     # symmetrize + dedup: every neighbor votes once per round
     e = (e0.unionByName(e0.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst")))
          .filter(F.col("src") != F.col("dst"))
          .distinct()
          .localCheckpoint(eager=True))
-    nodes = (e.select(F.col("src").alias("node")).distinct()
-             .localCheckpoint(eager=True))
     labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(F.col("cnt").desc(),
                                            F.col("label").asc())
@@ -56,8 +64,13 @@ def label_propagation(edges: DataFrame, iters: int = 4,
         votes = (e.join(labels.withColumnRenamed("node", "dst"), "dst")
                  .groupBy(F.col("src").alias("node"), "label")
                  .agg(F.count(F.lit(1)).alias("cnt")))
-        labels = (votes.withColumn("rk", F.row_number().over(w))
-                  .filter(F.col("rk") == 1)
-                  .select("node", "label")
+        winners = (votes.withColumn("rk", F.row_number().over(w))
+                   .filter(F.col("rk") == 1)
+                   .select("node", F.col("label").alias("win")))
+        # left join: a node with no (non-self) neighbors keeps its own
+        # label — the isolated-node contract
+        labels = (nodes.join(winners, "node", "left")
+                  .select("node", F.coalesce("win", F.col("node"))
+                          .alias("label"))
                   .localCheckpoint(eager=True))
     return labels

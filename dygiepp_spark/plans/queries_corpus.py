@@ -1643,26 +1643,38 @@ def q_stream_dedup_evidence(spark: SparkSession,
         dst = os.path.join(docs_dir, f"batch{i}.parquet")
         shutil.move(part, dst)
         os.utime(dst, (1700000000 + i * 60,) * 2)
-    q = stream_dedup_incremental(
-        spark, docs_dir, os.path.join(root, "out"),
-        os.path.join(root, "state"), os.path.join(root, "ckpt"),
-        max_files_per_trigger=1)
-    # bounded wait: a registered query must never hang a driver sweep;
-    # availableNow over 2 tiny files finishes in ~15 s — 300 s is a
-    # generous ceiling, after which we stop the stream and let the
-    # read below fail loudly on whatever is missing
-    if not q.awaitTermination(300):
-        q.stop()
-    surv = (spark.read.option("basePath", os.path.join(root, "out"))
-            .parquet(os.path.join(root, "out", "epoch=*")))
-    return (surv.groupBy("epoch")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
-                 F.sum(F.when(F.col("doc_id") >= 1000000, 1)
-                       .otherwise(0)).cast("bigint")
-                 .alias("n_replayed_kept"))
-            .select(F.col("epoch").cast("bigint").alias("epoch"),
-                    "n_survivors", "n_replayed_kept")
-            .orderBy("epoch"))
+    try:
+        q = stream_dedup_incremental(
+            spark, docs_dir, os.path.join(root, "out"),
+            os.path.join(root, "state"), os.path.join(root, "ckpt"),
+            max_files_per_trigger=1)
+        # bounded wait: a registered query must never hang a driver
+        # sweep; availableNow over 2 tiny files finishes in ~15 s —
+        # 300 s is a generous ceiling, after which we stop the stream
+        # and let the read below fail loudly on whatever is missing
+        if not q.awaitTermination(300):
+            q.stop()
+        surv = (spark.read.option("basePath", os.path.join(root, "out"))
+                .parquet(os.path.join(root, "out", "epoch=*")))
+        agg = (surv.groupBy("epoch")
+               .agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_survivors"),
+                    F.sum(F.when(F.col("doc_id") >= 1000000, 1)
+                          .otherwise(0)).cast("bigint")
+                    .alias("n_replayed_kept"))
+               .select(F.col("epoch").cast("bigint").alias("epoch"),
+                       "n_survivors", "n_replayed_kept")
+               .orderBy("epoch"))
+        # materialize the (tiny) evidence rows BEFORE cleanup so the
+        # scratch tree can be deleted here instead of leaking one
+        # /tmp/q_stream_dedup_* per invocation — the returned frame
+        # must not lazily re-read the removed parquet
+        rows = agg.collect()
+        return spark.createDataFrame(
+            rows, "epoch bigint, n_survivors bigint, "
+                  "n_replayed_kept bigint").orderBy("epoch")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ------------------------------------------------- decontamination

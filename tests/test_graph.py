@@ -355,14 +355,16 @@ def test_label_propagation_toy_communities(spark):
     (the bridge is outvoted 2:1 on both sides every round)."""
     from dygiepp_spark.operators.lpa import label_propagation
     edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+         (9, 9)],  # self-loop-only node: must survive with own label
         "src bigint, dst bigint")
     got = {r.node: r.label for r in
            label_propagation(edges, iters=4).collect()}
-    assert len(got) == 6
+    assert len(got) == 7
     assert got[1] == got[2] == got[3]
     assert got[4] == got[5] == got[6]
     assert got[1] != got[4]
+    assert got[9] == 9  # the CC edge-set convention (gid, gid) rows
     # deterministic across re-runs (sync rounds + min-label ties)
     again = {r.node: r.label for r in
              label_propagation(edges, iters=4).collect()}
