@@ -2005,3 +2005,45 @@ def q_task_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("nll", 6).alias("nll"),
                     F.round("mean_nll", 6).alias("mean_nll"))
             .orderBy("url", "task"))
+
+
+# ------------------------------------------------- degree histogram
+@register("q_degree_distribution", sql=f"""
+WITH {_BANDS_CTE},
+cand AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+deg AS (SELECT x AS node, COUNT(*) AS degree
+        FROM (SELECT src AS x FROM cand
+              UNION ALL SELECT dst FROM cand)
+        GROUP BY x)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+""")
+def q_degree_distribution(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Degree histogram of the LSH near-dup candidate graph — the
+    first diagnostic any graph pipeline runs before CC/LPA/PageRank
+    (hub detection, skew sizing: the histogram's tail tells you
+    whether the oriented joins need salting). Two map-side-combined
+    aggregations; the shuffles carry (node, count) then
+    (degree, count) — never edges."""
+    bands = _bands_df(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("src"),
+                    F.col("b.doc_id").alias("dst"))
+            .distinct())
+    deg = (cand.select(F.col("src").alias("node"))
+           .unionByName(cand.select(F.col("dst").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .select(F.col("degree").cast("bigint").alias("degree"),
+                    "n_nodes")
+            .orderBy("degree"))

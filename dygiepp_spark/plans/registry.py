@@ -74,6 +74,9 @@ _ROTATED_BELOW_FOLD = [
     # 0 rows at sf0.01 for 4 green rounds (q_dedup_exact_stats stays
     # in-fold); makes room for q_task_loss (M11)
     "q_dedup_exact_groups",
+    # M2 span counting is kernel-pytest-covered (closed-form
+    # invariant); makes room for q_degree_distribution
+    "q_span_count",
 ]
 for _n in _ROTATED_BELOW_FOLD:
     if _n in QUERIES:
